@@ -1,0 +1,22 @@
+"""Modeling layer: seeded CV folding, batched SVD ridge, nested-CV solver."""
+
+from litcoder_core_tpu.models.base import BasePredictivityModel
+from litcoder_core_tpu.models.folding import create_folds
+from litcoder_core_tpu.models.ridge import (
+    ridge_fit,
+    ridge_corr,
+    ridge_corr_pred,
+    svd_masked,
+)
+from litcoder_core_tpu.models.nested_cv import NestedCVModel, fit_nested_cv
+
+__all__ = [
+    "BasePredictivityModel",
+    "create_folds",
+    "ridge_fit",
+    "ridge_corr",
+    "ridge_corr_pred",
+    "svd_masked",
+    "NestedCVModel",
+    "fit_nested_cv",
+]

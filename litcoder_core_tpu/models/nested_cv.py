@@ -1,0 +1,384 @@
+"""Nested cross-validation ridge — the primary encoding model.
+
+Re-implements reference encoding/models/nested_cv.py:18-331 with the same two
+modes and the same metrics contract, but as a TPU-resident program:
+
+- the inner alpha search computes ONE SVD per inner fold and scores the whole
+  alpha grid on device (reference: fresh SVD + per-alpha Python loop,
+  ridge_regression.py:94-141);
+- voxelwise Pearson r, p-values, Fisher combination, and BH-FDR are array
+  programs (reference: serial host loops over ~95k voxels,
+  nested_cv.py:418-477);
+- responses stream through the solver in voxel chunks so whole-brain fits
+  (~95k voxels x ~27k TRs) never exceed HBM;
+- fold shuffling is seeded (`seed` argument) — the reference's unseeded
+  random.shuffle (folding.py:86) made runs irreproducible.
+
+Metrics dict keys match the reference exactly
+(nested_cv.py:_create_metrics_dict:480-530, _create_full_cv_metrics_dict:533-616).
+"""
+
+import logging
+from typing import Any, Dict, List, Optional, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from litcoder_core_tpu.models.base import BasePredictivityModel
+from litcoder_core_tpu.models.folding import create_folds
+from litcoder_core_tpu.models.normalizer import DataNormalizer
+from litcoder_core_tpu.models.ridge import (
+    ridge_corr_from_svd,
+    ridge_fit_from_svd,
+    ridge_svd,
+    predict,
+)
+from litcoder_core_tpu.ops.stats import (
+    bh_fdrcorrection,
+    fisher_combine_pvalues,
+    pearson_r_pvalues,
+)
+
+logger = logging.getLogger(__name__)
+
+Metrics = Dict[str, Union[float, List[float], List[bool]]]
+
+
+def _voxel_chunks(n_voxels: int, chunk: Optional[int]):
+    if chunk is None or chunk >= n_voxels:
+        return [(0, n_voxels)]
+    return [(lo, min(lo + chunk, n_voxels)) for lo in range(0, n_voxels, chunk)]
+
+
+def _find_best_alphas(
+    X: jnp.ndarray,
+    Y: jnp.ndarray,
+    fold_splits,
+    alphas: np.ndarray,
+    single_alpha: bool,
+    normalpha: bool,
+    use_corr: bool,
+    singcutoff: float,
+    voxel_chunk_size: Optional[int],
+) -> np.ndarray:
+    """Inner-CV alpha search: mean fold score per (alpha, voxel), then argmax.
+
+    Mirrors nested_cv.py:_find_best_alphas:334-415 — ties break to the first
+    (smallest-index) alpha like torch.argmax.
+    """
+    n_alphas, n_voxels = len(alphas), Y.shape[1]
+    alphas_j = jnp.asarray(alphas, jnp.float32)
+    corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
+
+    for train_idx, val_idx in fold_splits:
+        tr = jnp.asarray(train_idx)
+        va = jnp.asarray(val_idx)
+        svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff)
+        nalphas = alphas_j * svd.S[0] if normalpha else alphas_j
+        chunks = []
+        for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
+            Yc = Y[:, lo:hi]
+            chunks.append(
+                ridge_corr_from_svd(svd, Yc[tr], Yc[va], nalphas,
+                                    use_corr=use_corr)
+            )
+        corr_sum = corr_sum + jnp.concatenate(chunks, axis=1)
+
+    mean_corrs = corr_sum / len(fold_splits)  # (A, V)
+
+    if single_alpha:
+        best_idx = int(jnp.argmax(jnp.mean(mean_corrs, axis=1)))
+        best = np.full(n_voxels, float(alphas[best_idx]), dtype=np.float32)
+        logger.info("Best single alpha = %.3f for all voxels", alphas[best_idx])
+        return best
+    best_idx = np.asarray(jnp.argmax(mean_corrs, axis=0))
+    return np.asarray(alphas, np.float32)[best_idx]
+
+
+def _fit_and_score(
+    X_train: jnp.ndarray,
+    Y_train: jnp.ndarray,
+    X_test: jnp.ndarray,
+    Y_test: jnp.ndarray,
+    valphas: np.ndarray,
+    normalpha: bool,
+    singcutoff: float,
+    voxel_chunk_size: Optional[int],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Refit with per-voxel alphas, predict held-out, return
+    (weights (D,V), correlations (V,), pvalues (V,)) as numpy."""
+    n_voxels = Y_train.shape[1]
+    svd = ridge_svd(X_train, None, singcutoff=singcutoff)
+    valphas_j = jnp.asarray(valphas, jnp.float32)
+    nalphas = valphas_j * svd.S[0] if normalpha else valphas_j
+
+    wt_parts, corr_parts, pval_parts = [], [], []
+    for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
+        wt = ridge_fit_from_svd(svd, Y_train[:, lo:hi], nalphas[lo:hi])
+        y_pred = predict(X_test, wt)
+        corr, pval = pearson_r_pvalues(Y_test[:, lo:hi], y_pred)
+        wt_parts.append(np.asarray(wt))
+        corr_parts.append(np.asarray(corr))
+        pval_parts.append(np.asarray(pval))
+    return (
+        np.concatenate(wt_parts, axis=1),
+        np.concatenate(corr_parts),
+        np.concatenate(pval_parts),
+    )
+
+
+def fit_nested_cv(
+    features: np.ndarray,
+    targets: np.ndarray,
+    X_test: Optional[np.ndarray] = None,
+    y_test: Optional[np.ndarray] = None,
+    groups: Optional[np.ndarray] = None,
+    folding_type: str = "chunked",
+    n_outer_folds: int = 5,
+    n_inner_folds: int = 5,
+    chunk_length: int = 20,
+    alphas: Optional[List[float]] = None,
+    alpha_fdr: float = 0.05,
+    use_gpu: bool = True,  # accepted for API parity; device = JAX default
+    single_alpha: bool = False,
+    normalpha: bool = True,
+    use_corr: bool = True,
+    normalize_features: bool = False,
+    normalize_targets: bool = False,
+    singcutoff: float = 1e-10,
+    seed: int = 0,
+    voxel_chunk_size: Optional[int] = None,
+) -> Tuple[Metrics, np.ndarray, np.ndarray]:
+    """Nested-CV ridge fit. Signature and return contract match
+    NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with two
+    additions: `seed` (reproducible folds) and `voxel_chunk_size` (HBM
+    streaming; None = all voxels at once).
+
+    Returns:
+        (metrics, weights (n_features, n_voxels), best_alphas (n_voxels,))
+    """
+    del use_gpu  # JAX places everything on the best available device
+    if alphas is None:
+        alphas = np.logspace(-1, 8, 10)
+    alphas = np.asarray(alphas, np.float32)
+
+    features_j = jnp.asarray(features, jnp.float32)
+    targets_j = jnp.asarray(targets, jnp.float32)
+
+    train_test_mode = X_test is not None and y_test is not None
+
+    if train_test_mode:
+        logger.info("Running in train-test mode with provided test set")
+        X_test_j = jnp.asarray(X_test, jnp.float32)
+        y_test_j = jnp.asarray(y_test, jnp.float32)
+
+        if normalize_features or normalize_targets:
+            normalizer = DataNormalizer(normalize_features, normalize_targets)
+            features_j, targets_j = normalizer.fit_transform(
+                features_j, targets_j
+            )
+            X_test_j, y_test_j = normalizer.transform(X_test_j, y_test_j)
+
+        inner_splits = create_folds(
+            len(features), folding_type, n_inner_folds, chunk_length, None,
+            groups, seed=seed,
+        )
+        best_valphas = _find_best_alphas(
+            features_j, targets_j, inner_splits, alphas, single_alpha,
+            normalpha, use_corr, singcutoff, voxel_chunk_size,
+        )
+        wt, correlations, pvalues = _fit_and_score(
+            features_j, targets_j, X_test_j, y_test_j, best_valphas,
+            normalpha, singcutoff, voxel_chunk_size,
+        )
+        significant, corrected_pvals = map(
+            np.asarray, bh_fdrcorrection(jnp.asarray(pvalues), alpha=alpha_fdr)
+        )
+        n_significant = int(np.sum(significant))
+        metrics = _create_metrics_dict(
+            list(correlations), list(pvalues), corrected_pvals, significant,
+            best_valphas, n_significant,
+        )
+        logger.info("Median correlation: %.3f", metrics["median_score"])
+        return metrics, wt, best_valphas
+
+    # ---------------- full nested CV mode ----------------
+    logger.info("Running in full nested CV mode")
+    outer_splits = create_folds(
+        len(features), folding_type, n_outer_folds, chunk_length, None,
+        groups, seed=seed,
+    )
+
+    fold_scores, fold_pvalues, fold_valphas = [], [], []
+    fold_significant_masks, fold_weights = [], []
+
+    for fold_idx, (train_idx, test_idx) in enumerate(outer_splits):
+        logger.info("Processing fold %d/%d", fold_idx + 1, n_outer_folds)
+        tr = jnp.asarray(train_idx)
+        te = jnp.asarray(test_idx)
+        X_train, X_te = features_j[tr], features_j[te]
+        y_train, y_te = targets_j[tr], targets_j[te]
+
+        if normalize_features or normalize_targets:
+            normalizer = DataNormalizer(normalize_features, normalize_targets)
+            X_train, y_train = normalizer.fit_transform(X_train, y_train)
+            X_te, y_te = normalizer.transform(X_te, y_te)
+
+        if groups is not None and folding_type == "group":
+            inner_groups = np.asarray(groups)[train_idx]
+            inner_splits = create_folds(
+                len(train_idx), "group", n_inner_folds, groups=inner_groups,
+                seed=seed + fold_idx + 1,
+            )
+        else:
+            inner_splits = create_folds(
+                len(train_idx), folding_type, n_inner_folds, chunk_length,
+                seed=seed + fold_idx + 1,
+            )
+
+        best_valphas = _find_best_alphas(
+            X_train, y_train, inner_splits, alphas, single_alpha, normalpha,
+            use_corr, singcutoff, voxel_chunk_size,
+        )
+        fold_valphas.append(best_valphas)
+
+        wt, correlations, pvalues = _fit_and_score(
+            X_train, y_train, X_te, y_te, best_valphas, normalpha, singcutoff,
+            voxel_chunk_size,
+        )
+        fold_weights.append(wt)
+        fold_scores.append(correlations)
+        fold_pvalues.append(pvalues)
+
+        significant, _ = map(
+            np.asarray, bh_fdrcorrection(jnp.asarray(pvalues), alpha=alpha_fdr)
+        )
+        fold_significant_masks.append(significant)
+        logger.info(
+            "Fold %d/%d - median r: %.3f, significant: %d/%d",
+            fold_idx + 1, n_outer_folds, float(np.median(correlations)),
+            int(np.sum(significant)), len(significant),
+        )
+
+    all_correlations = np.mean(fold_scores, axis=0)
+    all_pvalues = np.asarray(
+        fisher_combine_pvalues(jnp.asarray(np.stack(fold_pvalues)))
+    )
+    significant_mask, corrected_pvalues = map(
+        np.asarray, bh_fdrcorrection(jnp.asarray(all_pvalues), alpha=alpha_fdr)
+    )
+    n_significant = int(np.sum(significant_mask))
+
+    significance_counts = np.sum(fold_significant_masks, axis=0)
+    majority_significant_mask = significance_counts >= (n_outer_folds // 2 + 1)
+    n_majority_significant = int(np.sum(majority_significant_mask))
+
+    mean_valphas = np.mean(fold_valphas, axis=0)
+    mean_weights = np.mean(fold_weights, axis=0)
+
+    metrics = _create_full_cv_metrics_dict(
+        all_correlations, all_pvalues, corrected_pvalues, significant_mask,
+        majority_significant_mask, mean_valphas, n_significant,
+        n_majority_significant,
+    )
+    logger.info("Median correlation: %.3f", metrics["median_score"])
+    return metrics, mean_weights, mean_valphas
+
+
+class NestedCVModel(BasePredictivityModel):
+    """Drop-in for the reference NestedCVModel (encoding/models/nested_cv.py:14)."""
+
+    def __init__(self, model_name: str = "ridge_regression", seed: int = 0,
+                 voxel_chunk_size: Optional[int] = None):
+        super().__init__(model_name)
+        self.seed = seed
+        self.voxel_chunk_size = voxel_chunk_size
+
+    def fit_predict(self, features, targets, X_test=None, y_test=None,
+                    groups=None, **kwargs):
+        kwargs.setdefault("seed", self.seed)
+        kwargs.setdefault("voxel_chunk_size", self.voxel_chunk_size)
+        return fit_nested_cv(
+            features, targets, X_test=X_test, y_test=y_test, groups=groups,
+            **kwargs,
+        )
+
+
+def _create_metrics_dict(correlations, pvalues, corrected_pvalues,
+                         significant_mask, best_alphas,
+                         n_significant) -> Metrics:
+    """Train-test metrics, keys identical to nested_cv.py:480-530."""
+    correlations_arr = np.asarray(correlations)
+    metrics: Metrics = {
+        "median_score": float(np.median(correlations_arr)),
+        "mean_score": float(np.mean(correlations_arr)),
+        "std_score": float(np.std(correlations_arr)),
+        "min_score": float(np.min(correlations_arr)),
+        "max_score": float(np.max(correlations_arr)),
+        "best_alphas": np.asarray(best_alphas).tolist(),
+        "correlations": [float(c) for c in correlations],
+        "p_values": [float(p) for p in pvalues],
+        "corrected_p_values": np.asarray(corrected_pvalues).tolist(),
+        "significant_mask": np.asarray(significant_mask).tolist(),
+        "n_significant": int(n_significant),
+        "percent_significant": float(
+            n_significant / len(correlations_arr) * 100
+        ),
+    }
+    if n_significant > 0:
+        sig = correlations_arr[np.asarray(significant_mask, bool)]
+        metrics.update({
+            "median_significant_score": float(np.median(sig)),
+            "mean_significant_score": float(np.mean(sig)),
+            "min_significant_score": float(np.min(sig)),
+            "max_significant_score": float(np.max(sig)),
+        })
+    return metrics
+
+
+def _create_full_cv_metrics_dict(all_correlations, all_pvalues,
+                                 corrected_pvalues, significant_mask,
+                                 majority_significant_mask, mean_valphas,
+                                 n_significant,
+                                 n_majority_significant) -> Metrics:
+    """Full-CV metrics, keys identical to nested_cv.py:533-616."""
+    metrics: Metrics = {
+        "median_score": float(np.median(all_correlations)),
+        "mean_score": float(np.mean(all_correlations)),
+        "std_score": float(np.std(all_correlations)),
+        "min_score": float(np.min(all_correlations)),
+        "max_score": float(np.max(all_correlations)),
+        "best_alphas": np.asarray(mean_valphas).tolist(),
+        "correlations": np.asarray(all_correlations).tolist(),
+        "p_values": np.asarray(all_pvalues).tolist(),
+        "corrected_p_values": np.asarray(corrected_pvalues).tolist(),
+        "significant_mask": np.asarray(significant_mask).tolist(),
+        "majority_significant_mask": np.asarray(
+            majority_significant_mask
+        ).tolist(),
+        "n_significant": int(n_significant),
+        "n_majority_significant": int(n_majority_significant),
+        "percent_significant": float(
+            n_significant / len(all_correlations) * 100
+        ),
+        "percent_majority_significant": float(
+            n_majority_significant / len(all_correlations) * 100
+        ),
+    }
+    if n_significant > 0:
+        sig = all_correlations[np.asarray(significant_mask, bool)]
+        metrics.update({
+            "median_significant_score": float(np.median(sig)),
+            "mean_significant_score": float(np.mean(sig)),
+            "min_significant_score": float(np.min(sig)),
+            "max_significant_score": float(np.max(sig)),
+        })
+    if n_majority_significant > 0:
+        msig = all_correlations[np.asarray(majority_significant_mask, bool)]
+        metrics.update({
+            "median_majority_significant_score": float(np.median(msig)),
+            "mean_majority_significant_score": float(np.mean(msig)),
+            "min_majority_significant_score": float(np.min(msig)),
+            "max_majority_significant_score": float(np.max(msig)),
+        })
+    return metrics

@@ -1,0 +1,199 @@
+"""Batched SVD ridge regression — the compute core, TPU-first.
+
+Re-designs reference encoding/models/ridge_regression.py (a torch port of the
+HuthLab ridge) as pure jitted JAX programs:
+
+- `svd_masked`: economy SVD with singular values *masked* (zeroed) below
+  `singcutoff` instead of truncated (ridge_utils.py:34-67 truncates, which
+  gives dynamic shapes; masking is numerically identical because the ridge
+  diagonal D = S/(S^2+a^2) vanishes for masked components, and keeps every
+  shape static for XLA).
+- `ridge_corr`: the reference loops over the alpha grid in Python rebuilding
+  diag-matmuls per alpha (ridge_regression.py:115-134); here the whole grid is
+  one lax.map over a closed-over SVD, each step a single fused
+  matmul-plus-correlation. No SVD recomputation, no host sync.
+- `ridge_fit`: the reference groups voxels by unique alpha in a Python loop
+  with boolean gathers (ridge_regression.py:49-62); here the per-voxel ridge
+  diagonal is a dense (k, V) broadcast and the solve is ONE (D_feat x k) @
+  (k x V) MXU matmul — no data-dependent control flow at all.
+- `ridge_corr_pred`: same dense formulation for per-voxel-alpha scoring
+  (ridge_regression.py:144-216).
+
+The SVD stage is factored out (`ridge_svd`) so the nested-CV driver computes
+it once per fold and streams voxel chunks through the scoring stage — the
+feature matrix and its SVD are tiny next to (T x 95k) response matrices.
+
+All matmuls run at Precision.HIGHEST so float32 parity with the torch
+reference holds on TPU (bf16 MXU passes would break the 1e-3 tolerance).
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from litcoder_core_tpu.ops.stats import zscore
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class RidgeSVD(NamedTuple):
+    """SVD products shared by every voxel chunk of one fold."""
+
+    U: jax.Array       # (Tr, k) left singular vectors
+    S: jax.Array       # (k,) singular values (masked ones still present)
+    Vh: jax.Array      # (k, D) right singular vectors
+    good: jax.Array    # (k,) bool mask: S > singcutoff
+    PVh: Optional[jax.Array]  # (Tp, k) validation stimuli in singular basis
+
+
+def svd_masked(X, singcutoff: float = 1e-10):
+    """Economy SVD of (T, D) with tiny singular values masked to zero.
+
+    Returns (U, S, Vh, good) where good = S > singcutoff. Downstream ridge
+    math multiplies by `good` so masked components contribute exactly nothing,
+    matching the reference's truncation (encoding/models/ridge_utils.py:44-47,
+    61-65) with static shapes.
+    """
+    X = jnp.asarray(X, jnp.float32)
+    U, S, Vh = jnp.linalg.svd(X, full_matrices=False)
+    good = S > singcutoff
+    return U, S, Vh, good
+
+
+@partial(jax.jit, static_argnames=("singcutoff",))
+def ridge_svd(Rstim, Pstim=None, singcutoff: float = 1e-10) -> RidgeSVD:
+    """SVD stage: factor the training stimuli, project validation stimuli."""
+    U, S, Vh, good = svd_masked(Rstim, singcutoff)
+    PVh = None
+    if Pstim is not None:
+        PVh = jnp.dot(
+            jnp.asarray(Pstim, jnp.float32), Vh.T, precision=_HIGHEST
+        )
+    return RidgeSVD(U, S, Vh, good, PVh)
+
+
+def _normalize_alphas(alphas, svd: RidgeSVD, normalpha: bool):
+    alphas = jnp.asarray(alphas, jnp.float32)
+    return alphas * svd.S[0] if normalpha else alphas
+
+
+def _shrinkage_per_voxel(svd: RidgeSVD, nalphas):
+    """(k, V) ridge diagonal for per-voxel alphas."""
+    return jnp.where(
+        svd.good[:, None],
+        svd.S[:, None] / (svd.S[:, None] ** 2 + nalphas[None, :] ** 2),
+        0.0,
+    )
+
+
+@partial(jax.jit, static_argnames=("use_corr",))
+def ridge_corr_from_svd(svd: RidgeSVD, Rresp, Presp, nalphas,
+                        use_corr: bool = True):
+    """Score an (A,) pre-normalized alpha grid for one voxel chunk.
+
+    Args:
+        svd: RidgeSVD of the fold's training stimuli (PVh required).
+        Rresp: (Tr, Vc) training responses for this voxel chunk.
+        Presp: (Tp, Vc) validation responses for this voxel chunk.
+
+    Returns:
+        (A, Vc) correlations (NaN -> 0), matching ridge_corr_torch
+        (encoding/models/ridge_regression.py:104-141).
+    """
+    Rresp = jnp.asarray(Rresp, jnp.float32)
+    Presp = jnp.asarray(Presp, jnp.float32)
+    UR = jnp.dot(svd.U.T, Rresp, precision=_HIGHEST)  # (k, Vc)
+    zPresp = zscore(Presp, axis=0)
+    Prespvar = jnp.var(Presp, axis=0, ddof=1)
+
+    def score_one_alpha(na):
+        D = jnp.where(svd.good, svd.S / (svd.S**2 + na**2), 0.0)
+        pred = jnp.dot(svd.PVh * D[None, :], UR, precision=_HIGHEST)
+        if use_corr:
+            rcorr = jnp.mean(zPresp * zscore(pred, axis=0), axis=0)
+        else:
+            resvar = jnp.var(Presp - pred, axis=0, ddof=1)
+            rsq = 1.0 - resvar / Prespvar
+            rcorr = jnp.sqrt(jnp.abs(rsq)) * jnp.sign(rsq)
+        return jnp.nan_to_num(rcorr, nan=0.0, posinf=0.0, neginf=0.0)
+
+    # lax.map keeps peak memory at one (Tp, Vc) prediction; all A steps stay
+    # on device back-to-back with the SVD products resident in HBM.
+    return jax.lax.map(score_one_alpha, jnp.asarray(nalphas, jnp.float32))
+
+
+@jax.jit
+def ridge_fit_from_svd(svd: RidgeSVD, Rresp, nalphas):
+    """Weights for one voxel chunk given pre-normalized per-voxel alphas."""
+    UR = jnp.dot(svd.U.T, jnp.asarray(Rresp, jnp.float32), precision=_HIGHEST)
+    D = _shrinkage_per_voxel(svd, jnp.asarray(nalphas, jnp.float32))
+    return jnp.dot(svd.Vh.T, D * UR, precision=_HIGHEST)  # (D_feat, Vc)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity wrappers (one-call forms mirroring ridge_regression.py).
+# ---------------------------------------------------------------------------
+
+
+def ridge_fit(Rstim, Rresp, valphas, singcutoff: float = 1e-30,
+              normalpha: bool = False):
+    """Ridge weights with scalar or per-voxel alphas: (D, V).
+
+    Drop-in for ridge_torch (encoding/models/ridge_regression.py:9-63).
+    """
+    Rresp = jnp.asarray(Rresp, jnp.float32)
+    svd = ridge_svd(Rstim, None, singcutoff=singcutoff)
+    valphas = jnp.atleast_1d(jnp.asarray(valphas, jnp.float32))
+    if valphas.shape[0] == 1:
+        valphas = jnp.broadcast_to(valphas, (Rresp.shape[1],))
+    nalphas = _normalize_alphas(valphas, svd, normalpha)
+    return ridge_fit_from_svd(svd, Rresp, nalphas)
+
+
+def ridge_corr(Rstim, Pstim, Rresp, Presp, alphas, singcutoff: float = 1e-30,
+               use_corr: bool = True, normalpha: bool = False):
+    """(A, V) alpha-grid scores. Drop-in for ridge_corr_torch
+    (encoding/models/ridge_regression.py:66-141)."""
+    svd = ridge_svd(Rstim, Pstim, singcutoff=singcutoff)
+    nalphas = _normalize_alphas(alphas, svd, normalpha)
+    return ridge_corr_from_svd(svd, Rresp, Presp, nalphas, use_corr=use_corr)
+
+
+def ridge_corr_pred(Rstim, Pstim, Rresp, Presp, valphas,
+                    singcutoff: float = 1e-30, use_corr: bool = True,
+                    normalpha: bool = True):
+    """(V,) held-out scores with per-voxel alphas. Drop-in for
+    ridge_corr_pred_torch (encoding/models/ridge_regression.py:144-216)."""
+    svd = ridge_svd(Rstim, Pstim, singcutoff=singcutoff)
+    nalphas = _normalize_alphas(
+        jnp.asarray(valphas, jnp.float32), svd, normalpha
+    )
+    return _ridge_corr_pred_from_svd(
+        svd, jnp.asarray(Rresp, jnp.float32), jnp.asarray(Presp, jnp.float32),
+        nalphas, use_corr,
+    )
+
+
+@partial(jax.jit, static_argnames=("use_corr",))
+def _ridge_corr_pred_from_svd(svd: RidgeSVD, Rresp, Presp, nalphas,
+                              use_corr: bool = True):
+    UR = jnp.dot(svd.U.T, Rresp, precision=_HIGHEST)  # (k, V)
+    D = _shrinkage_per_voxel(svd, nalphas)  # (k, V)
+    pred = jnp.dot(svd.PVh, D * UR, precision=_HIGHEST)  # (Tp, V)
+    if use_corr:
+        corr = jnp.mean(zscore(Presp, axis=0) * zscore(pred, axis=0), axis=0)
+    else:
+        resvar = jnp.var(Presp - pred, axis=0, ddof=1)
+        rsq = 1.0 - resvar / jnp.var(Presp, axis=0, ddof=1)
+        corr = jnp.sqrt(jnp.abs(rsq)) * jnp.sign(rsq)
+    return jnp.nan_to_num(corr, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def predict(Pstim, wt):
+    """X_test @ wt at full precision (nested_cv.py:151,251)."""
+    return jnp.dot(
+        jnp.asarray(Pstim, jnp.float32), jnp.asarray(wt, jnp.float32),
+        precision=_HIGHEST,
+    )

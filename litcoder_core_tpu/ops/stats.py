@@ -1,0 +1,137 @@
+"""Voxelwise statistics as device-side array programs.
+
+The reference computes Pearson r + p per voxel with a serial host-side
+scipy.stats.pearsonr loop (reference: encoding/models/nested_cv.py:418-438),
+Fisher p-value combination with a serial per-voxel scipy loop
+(nested_cv.py:441-477), and BH-FDR via statsmodels
+(nested_cv.py:158,282). Here all of them are O(V)-parallel jnp programs that
+run on TPU in microseconds for ~100k voxels.
+
+Closed forms used (numerically identical to the scipy/statsmodels results):
+- two-sided Pearson p-value: with df = n - 2 and t^2 = r^2 df / (1 - r^2),
+  p = I_{df/(df+t^2)}(df/2, 1/2) = betainc(df/2, 1/2, 1 - r^2).
+- Fisher combination of k p-values: stat = -2 sum(log p),
+  p_comb = SF_chi2(stat; 2k) = gammaincc(k, stat / 2).
+- Benjamini-Hochberg step-up identical to
+  statsmodels.stats.multitest.fdrcorrection(method='indep').
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import betainc, gammaincc
+
+
+def zscore(x, axis=0, eps: float = 1e-8, ddof: int = 1):
+    """Z-score along `axis` with numerical-stability eps.
+
+    Matches the reference's torch path (encoding/models/ridge_utils.py:6-15):
+    torch .std() is the unbiased (ddof=1) estimator. Pass ddof=0 for the
+    numpy-style variant used at the trainer level (encoding/utils.py zscore).
+    """
+    x = jnp.asarray(x)
+    mean = jnp.mean(x, axis=axis, keepdims=True)
+    std = jnp.std(x, axis=axis, keepdims=True, ddof=ddof)
+    return (x - mean) / (std + eps)
+
+
+def pearson_r(y_true, y_pred, axis=0):
+    """Columnwise Pearson correlation; NaN -> 0 like the reference
+    (encoding/models/nested_cv.py:433-436)."""
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    yt = y_true - jnp.mean(y_true, axis=axis, keepdims=True)
+    yp = y_pred - jnp.mean(y_pred, axis=axis, keepdims=True)
+    num = jnp.sum(yt * yp, axis=axis)
+    den = jnp.sqrt(jnp.sum(yt * yt, axis=axis) * jnp.sum(yp * yp, axis=axis))
+    r = num / den
+    return jnp.nan_to_num(r, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def pearson_pvalues(r, n: int):
+    """Two-sided p-value of Pearson r with n samples via the beta closed form.
+
+    Replaces the reference's per-voxel scipy.pearsonr host loop
+    (encoding/models/nested_cv.py:433-437). NaN -> 1 like the reference.
+    """
+    r = jnp.asarray(r, jnp.float32)
+    df = float(n - 2)
+    if df <= 0:
+        return jnp.ones_like(r)
+    x = jnp.clip(1.0 - r * r, 0.0, 1.0)
+    p = betainc(df / 2.0, 0.5, x)
+    # |r| == 1 -> p = 0; r == 0 -> p = 1; NaN -> 1.
+    p = jnp.where(jnp.isnan(r), 1.0, p)
+    return jnp.clip(jnp.nan_to_num(p, nan=1.0), 0.0, 1.0)
+
+
+def pearson_r_pvalues(y_true, y_pred, axis=0):
+    """Fused correlations + p-values (one pass over the data)."""
+    r = pearson_r(y_true, y_pred, axis=axis)
+    n = y_true.shape[axis]
+    return r, pearson_pvalues(r, n)
+
+
+def fisher_combine_pvalues(fold_pvalues, eps: float = 0.0):
+    """Combine p-values across folds per voxel with Fisher's method.
+
+    Args:
+        fold_pvalues: (n_folds, n_voxels) array of p-values.
+
+    Special-cases all-p==1 voxels to exactly 1.0, matching the reference's
+    guard (encoding/models/nested_cv.py:459-462).
+    """
+    p = jnp.asarray(fold_pvalues, jnp.float32)
+    k = p.shape[0]
+    # Guard log(0): chi2 stat of p=0 is +inf -> combined p 0, which is correct,
+    # but avoid NaN from 0 * inf paths.
+    logs = jnp.log(jnp.clip(p, 1e-300, 1.0))
+    stat = -2.0 * jnp.sum(logs, axis=0)
+    combined = gammaincc(float(k), stat / 2.0)
+    all_ones = jnp.all(p >= 1.0, axis=0)
+    return jnp.where(all_ones, 1.0, combined)
+
+
+@partial(jax.jit, static_argnames=("alpha", "is_sorted"))
+def bh_fdrcorrection(pvals, alpha: float = 0.05, is_sorted: bool = False):
+    """Benjamini-Hochberg FDR: returns (reject_mask, corrected_pvals).
+
+    Device-side equivalent of statsmodels fdrcorrection(alpha, method='indep')
+    used at encoding/models/nested_cv.py:158,263,282.
+    """
+    p = jnp.asarray(pvals, jnp.float32)
+    n = p.shape[0]
+    order = jnp.argsort(p)
+    ranked = p[order]
+    ecdf = jnp.arange(1, n + 1, dtype=jnp.float32) / n
+
+    # Corrected p-values: p/ecdf, then enforce monotone non-decreasing from the
+    # back (min of suffix), clipped at 1.
+    raw = ranked / ecdf
+    corrected_sorted = jnp.minimum(
+        jnp.flip(jax.lax.cummin(jnp.flip(raw))), 1.0
+    )
+
+    # Step-up rejection: reject all hypotheses with rank <= max rank where
+    # p_(i) <= ecdf_i * alpha.
+    below = ranked <= ecdf * alpha
+    any_below = jnp.any(below)
+    max_idx = jnp.max(jnp.where(below, jnp.arange(n), -1))
+    reject_sorted = jnp.where(
+        any_below, jnp.arange(n) <= max_idx, jnp.zeros(n, dtype=bool)
+    )
+
+    inv = jnp.argsort(order)
+    return reject_sorted[inv], corrected_sorted[inv]
+
+
+def signed_square_corr(y_true, y_pred, axis=0, eps: float = 0.0):
+    """Signed-sqrt R^2 metric (use_corr=False path), matching
+    encoding/models/ridge_regression.py:127-130 with torch-unbiased variance."""
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    resvar = jnp.var(y_true - y_pred, axis=axis, ddof=1)
+    truevar = jnp.var(y_true, axis=axis, ddof=1)
+    rsq = 1.0 - resvar / truevar
+    return jnp.sqrt(jnp.abs(rsq)) * jnp.sign(rsq)

@@ -1,0 +1,25 @@
+"""Test config: force an 8-device virtual CPU mesh BEFORE jax initializes.
+
+SURVEY.md §4: multi-chip logic is testable without hardware via
+--xla_force_host_platform_device_count (the TPU analogue of fake backends).
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# Force CPU even when a TPU platform plugin overrides JAX_PLATFORMS (the
+# tunneled 'axon' plugin ignores the env var): unit tests must run on the
+# virtual 8-device CPU mesh (fast compiles, mesh coverage); TPU execution is
+# exercised by bench.py and __graft_entry__.py.
+jax.config.update("jax_platforms", "cpu")
+
+# Float32 parity with the torch reference requires full-precision matmuls.
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,119 @@
+"""Nested-CV solver tests: signal recovery, metric contracts, both modes."""
+
+import numpy as np
+
+from litcoder_core_tpu.models.nested_cv import NestedCVModel, fit_nested_cv
+
+rng = np.random.default_rng(4)
+
+
+def _synthetic(T=400, D=8, V=30, noise=0.5, n_signal=20):
+    """V voxels, first n_signal carry linear signal, rest pure noise."""
+    X = rng.normal(size=(T, D)).astype(np.float32)
+    wt = np.zeros((D, V), np.float32)
+    wt[:, :n_signal] = rng.normal(size=(D, n_signal))
+    Y = (X @ wt + noise * rng.normal(size=(T, V))).astype(np.float32)
+    return X, Y, wt
+
+
+TRAIN_TEST_KEYS = {
+    "median_score", "mean_score", "std_score", "min_score", "max_score",
+    "best_alphas", "correlations", "p_values", "corrected_p_values",
+    "significant_mask", "n_significant", "percent_significant",
+}
+
+FULL_CV_EXTRA_KEYS = {
+    "majority_significant_mask", "n_majority_significant",
+    "percent_majority_significant",
+}
+
+
+def test_train_test_mode_recovers_signal():
+    X, Y, _ = _synthetic()
+    Xte = rng.normal(size=(100, 8)).astype(np.float32)
+    wt_true = np.linalg.lstsq(X, Y, rcond=None)[0]
+    Yte = (Xte @ wt_true + 0.5 * rng.normal(size=(100, 30))).astype(np.float32)
+
+    metrics, weights, best_alphas = fit_nested_cv(
+        X, Y, X_test=Xte, y_test=Yte, chunk_length=20, seed=0,
+    )
+    assert TRAIN_TEST_KEYS <= set(metrics)
+    assert weights.shape == (8, 30)
+    assert best_alphas.shape == (30,)
+    corrs = np.array(metrics["correlations"])
+    # Signal voxels predicted well, noise voxels not.
+    assert np.median(corrs[:20]) > 0.6
+    assert np.median(np.abs(corrs[20:])) < 0.35
+    assert metrics["n_significant"] >= 15
+
+
+def test_full_cv_mode_recovers_signal():
+    X, Y, _ = _synthetic(T=500)
+    metrics, weights, best_alphas = fit_nested_cv(
+        X, Y, n_outer_folds=3, n_inner_folds=3, chunk_length=20, seed=0,
+    )
+    assert (TRAIN_TEST_KEYS | FULL_CV_EXTRA_KEYS) <= set(metrics)
+    assert weights.shape == (8, 30)
+    corrs = np.array(metrics["correlations"])
+    assert np.median(corrs[:20]) > 0.5
+    assert metrics["n_significant"] >= 10
+
+
+def test_single_alpha_mode():
+    X, Y, _ = _synthetic(T=300, V=10, n_signal=10)
+    metrics, _, best_alphas = fit_nested_cv(
+        X, Y, X_test=X[:50], y_test=Y[:50], single_alpha=True,
+        chunk_length=20, seed=0,
+    )
+    assert len(set(np.round(best_alphas, 6))) == 1
+
+
+def test_voxel_chunking_matches_unchunked():
+    X, Y, _ = _synthetic(T=300, V=25)
+    Xte = rng.normal(size=(80, 8)).astype(np.float32)
+    Yte = rng.normal(size=(80, 25)).astype(np.float32)
+    m1, w1, a1 = fit_nested_cv(
+        X, Y, X_test=Xte, y_test=Yte, seed=0, voxel_chunk_size=None,
+    )
+    m2, w2, a2 = fit_nested_cv(
+        X, Y, X_test=Xte, y_test=Yte, seed=0, voxel_chunk_size=7,
+    )
+    assert np.allclose(w1, w2, atol=1e-5)
+    assert np.array_equal(a1, a2)
+    assert np.allclose(m1["correlations"], m2["correlations"], atol=1e-5)
+
+
+def test_seed_reproducibility():
+    X, Y, _ = _synthetic(T=300)
+    m1, w1, _ = fit_nested_cv(X, Y, X_test=X[:50], y_test=Y[:50], seed=5)
+    m2, w2, _ = fit_nested_cv(X, Y, X_test=X[:50], y_test=Y[:50], seed=5)
+    assert np.allclose(w1, w2)
+    assert m1["median_score"] == m2["median_score"]
+
+
+def test_normalization_path():
+    X, Y, _ = _synthetic(T=300)
+    X = X * 100 + 7  # un-normalized scales
+    metrics, _, _ = fit_nested_cv(
+        X, Y, X_test=X[:50], y_test=Y[:50],
+        normalize_features=True, normalize_targets=True, seed=0,
+    )
+    assert np.isfinite(metrics["median_score"])
+
+
+def test_model_class_wrapper():
+    X, Y, _ = _synthetic(T=300, V=12, n_signal=12)
+    model = NestedCVModel(model_name="ridge_regression", seed=0)
+    metrics, weights, alphas = model.fit_predict(
+        X, Y, X_test=X[:60], y_test=Y[:60]
+    )
+    assert metrics["median_score"] > 0.5  # train overlap -> high corr
+    assert weights.shape == (8, 12)
+
+
+def test_use_corr_false_path():
+    X, Y, _ = _synthetic(T=300, V=10, n_signal=10)
+    metrics, _, _ = fit_nested_cv(
+        X, Y, X_test=X[:50], y_test=Y[:50], use_corr=False, seed=0,
+    )
+    assert np.isfinite(metrics["median_score"])

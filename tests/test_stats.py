@@ -1,0 +1,105 @@
+"""Golden tests for device-side stats vs scipy / hand-rolled BH."""
+
+import numpy as np
+import pytest
+from scipy import stats as sps
+
+from litcoder_core_tpu.ops.stats import (
+    bh_fdrcorrection,
+    fisher_combine_pvalues,
+    pearson_pvalues,
+    pearson_r,
+    pearson_r_pvalues,
+    zscore,
+)
+
+rng = np.random.default_rng(0)
+
+
+def _bh_reference(pvals, alpha=0.05):
+    """statsmodels.fdrcorrection(method='indep') reimplemented in numpy."""
+    pvals = np.asarray(pvals)
+    n = len(pvals)
+    order = np.argsort(pvals)
+    ranked = pvals[order]
+    ecdf = np.arange(1, n + 1) / n
+    reject = ranked <= ecdf * alpha
+    if reject.any():
+        rejectmax = max(np.nonzero(reject)[0])
+        reject[: rejectmax + 1] = True
+    corrected = ranked / ecdf
+    corrected = np.minimum.accumulate(corrected[::-1])[::-1]
+    corrected = np.clip(corrected, 0, 1)
+    out_reject = np.empty_like(reject)
+    out_corr = np.empty_like(corrected)
+    out_reject[order] = reject
+    out_corr[order] = corrected
+    return out_reject, out_corr
+
+
+def test_pearson_r_matches_scipy():
+    y_true = rng.normal(size=(100, 7))
+    y_pred = y_true * 0.5 + rng.normal(size=(100, 7))
+    r = np.asarray(pearson_r(y_true, y_pred))
+    for v in range(7):
+        ref_r, _ = sps.pearsonr(y_true[:, v], y_pred[:, v])
+        assert abs(r[v] - ref_r) < 1e-5
+
+
+def test_pearson_pvalues_match_scipy():
+    y_true = rng.normal(size=(60, 9))
+    y_pred = 0.3 * y_true + rng.normal(size=(60, 9))
+    r, p = pearson_r_pvalues(y_true, y_pred)
+    p = np.asarray(p)
+    for v in range(9):
+        _, ref_p = sps.pearsonr(y_true[:, v], y_pred[:, v])
+        assert abs(p[v] - ref_p) < 1e-5
+
+
+def test_pearson_nan_policy():
+    """Constant columns -> r = 0, p = 1 (reference nested_cv.py:433-437)."""
+    y_true = np.ones((20, 2))
+    y_pred = rng.normal(size=(20, 2))
+    r, p = pearson_r_pvalues(y_true, y_pred)
+    assert np.allclose(np.asarray(r), 0.0)
+    assert np.allclose(np.asarray(p), 1.0)
+
+
+def test_fisher_combination_matches_scipy():
+    p_folds = rng.uniform(1e-6, 1, size=(5, 13))
+    ours = np.asarray(fisher_combine_pvalues(p_folds))
+    for v in range(13):
+        _, ref = sps.combine_pvalues(p_folds[:, v], method="fisher")
+        assert abs(ours[v] - ref) < 1e-5
+
+
+def test_fisher_all_ones_special_case():
+    p_folds = np.ones((5, 3))
+    ours = np.asarray(fisher_combine_pvalues(p_folds))
+    assert np.allclose(ours, 1.0)
+
+
+@pytest.mark.parametrize("alpha", [0.05, 0.2])
+def test_bh_fdr_matches_statsmodels_semantics(alpha):
+    pvals = rng.uniform(size=200) ** 3  # skew small
+    reject, corrected = bh_fdrcorrection(pvals, alpha=alpha)
+    ref_reject, ref_corr = _bh_reference(pvals, alpha=alpha)
+    assert np.array_equal(np.asarray(reject), ref_reject)
+    assert np.allclose(np.asarray(corrected), ref_corr, atol=1e-6)
+
+
+def test_bh_fdr_none_significant():
+    pvals = np.linspace(0.5, 1.0, 50)
+    reject, _ = bh_fdrcorrection(pvals, alpha=0.05)
+    assert not np.asarray(reject).any()
+
+
+def test_zscore_matches_torch_unbiased():
+    import torch
+
+    x = rng.normal(size=(50, 4)).astype(np.float32)
+    ours = np.asarray(zscore(x, axis=0))
+    t = torch.tensor(x)
+    ref = ((t - t.mean(dim=0, keepdim=True))
+           / (t.std(dim=0, keepdim=True) + 1e-8)).numpy()
+    assert np.allclose(ours, ref, atol=1e-5)
