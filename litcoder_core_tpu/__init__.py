@@ -25,6 +25,8 @@ from litcoder_core_tpu.models.nested_cv import NestedCVModel, fit_nested_cv
 from litcoder_core_tpu.assembly.assemblies import SimpleNeuroidAssembly
 from litcoder_core_tpu.assembly.story_data import StoryData
 from litcoder_core_tpu.assembly.assembly_loader import load_assembly, save_assembly
+from litcoder_core_tpu.features.factory import FeatureExtractorFactory
+from litcoder_core_tpu.trainer import AbstractTrainer
 
 __all__ = [
     "Downsampler",
@@ -35,5 +37,7 @@ __all__ = [
     "StoryData",
     "load_assembly",
     "save_assembly",
+    "FeatureExtractorFactory",
+    "AbstractTrainer",
     "__version__",
 ]

@@ -1,0 +1,301 @@
+"""Dependency-injected pipeline orchestrator
+(reference: encoding/trainer.py:18-358).
+
+Same 5-step flow and constructor contract as the reference AbstractTrainer:
+extract -> downsample -> FIR -> structure (train/test split or concat) ->
+fit_predict -> log/save. Differences are environmental, not behavioral:
+- logger_backend adds 'none' (NullLogger) so headless runs don't require
+  wandb/tensorboard;
+- per-story z-scoring keeps the reference's numpy semantics
+  (utils.zs: zero-variance columns stay demeaned).
+"""
+
+import logging
+from datetime import datetime
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from litcoder_core_tpu.features.factory import FeatureExtractorFactory
+from litcoder_core_tpu.features.fir_expander import FIR
+from litcoder_core_tpu.plotting.plotting_utils import (
+    BrainPlotter,
+    NullLogger,
+    TensorBoardLogger,
+    WandBLogger,
+)
+from litcoder_core_tpu.utils.core import zs
+from litcoder_core_tpu.utils.saver import ModelSaver
+
+logger = logging.getLogger(__name__)
+
+
+class AbstractTrainer:
+    """Orchestrates the encoding pipeline with injected components."""
+
+    def __init__(
+        self,
+        assembly: Any,
+        feature_extractors: List[Any],
+        downsampler: Any,
+        model: Any,
+        fir_delays: List[int],
+        trimming_config: Dict,
+        use_train_test_split: bool = False,
+        layer_idx: int = 9,
+        lookback: int = 256,
+        dataset_type: str = "unknown",
+        logger_backend: str = "tensorboard",
+        wandb_project_name: str = "abstract-trainer",
+        results_dir: str = "results",
+        run_name: Optional[str] = None,
+        downsample_config: Optional[Dict] = None,
+        story_selection: Optional[List[str]] = None,
+    ):
+        self.assembly = assembly
+        self.feature_extractors = feature_extractors
+        self.downsampler = downsampler
+        self.model = model
+        self.fir_delays = fir_delays
+        self.trimming_config = trimming_config
+        self.use_train_test_split = use_train_test_split
+        self.downsample_config = downsample_config or {}
+        self.layer_idx = layer_idx
+        self.lookback = lookback
+        self.dataset_type = dataset_type
+
+        if story_selection is None:
+            self.stories_to_process = self.assembly.stories
+        elif isinstance(story_selection, int):
+            # 1-based single story index (reference: trainer.py:86-88).
+            self.stories_to_process = [self.assembly.stories[story_selection - 1]]
+        else:
+            self.stories_to_process = story_selection
+
+        self.setup_logger(logger_backend, wandb_project_name, results_dir,
+                          run_name)
+        self.model_saver = ModelSaver(base_dir=results_dir)
+        self.brain_plotter = BrainPlotter(self.experiment_logger)
+
+        logger.info("Abstract trainer initialized: %d extractors, %d stories, "
+                    "layer=%d, lookback=%d, dataset=%s, fir=%s, split=%s",
+                    len(self.feature_extractors), len(self.stories_to_process),
+                    self.layer_idx, self.lookback, self.dataset_type,
+                    self.fir_delays, self.use_train_test_split)
+
+    def setup_logger(self, backend: str, project_name: str, results_dir: str,
+                     run_name: Optional[str]):
+        if run_name is None:
+            run_name = (
+                f"abstract-trainer-{datetime.now().strftime('%Y%m%d-%H%M%S')}"
+            )
+        if backend == "wandb":
+            import wandb
+
+            wandb.init(project=project_name, name=run_name)
+            self.experiment_logger = WandBLogger()
+        elif backend == "tensorboard":
+            self.experiment_logger = TensorBoardLogger(
+                log_dir=f"{results_dir}/runs/{run_name}"
+            )
+        elif backend == "none":
+            self.experiment_logger = NullLogger()
+        else:
+            raise ValueError(f"Unsupported logger_backend '{backend}'")
+
+    # ------------------------------------------------------------ stage 1
+
+    def extract_and_downsample_features(self) -> Dict[str, np.ndarray]:
+        """Per-story feature extraction + downsampling
+        (reference: trainer.py:125-157)."""
+        all_features = {}
+        for story in self.stories_to_process:
+            idx = self.assembly.stories.index(story)
+            story_features = []
+            for extractor in self.feature_extractors:
+                features = self._extract_single_features(extractor, story, idx)
+                if self._should_downsample(extractor):
+                    downsampled = self._downsample_features(features, idx)
+                else:
+                    downsampled = features
+                story_features.append(downsampled)
+            if len(story_features) > 1:
+                # Align timepoints across extractors, then hstack.
+                min_len = min(f.shape[0] for f in story_features)
+                story_features = [f[:min_len] for f in story_features]
+                combined = np.concatenate(story_features, axis=1)
+            else:
+                combined = story_features[0]
+            all_features[story] = combined
+            logger.info("Story %s: feature shape %s", story, combined.shape)
+        return all_features
+
+    def _extract_single_features(self, extractor, story: str, idx: int):
+        return FeatureExtractorFactory.extract_features_with_caching(
+            extractor, self.assembly, story, idx, self.layer_idx,
+            self.lookback, self.dataset_type,
+        )
+
+    def _should_downsample(self, extractor) -> bool:
+        """Wordrate features are already TR-binned
+        (reference: trainer.py:168-172)."""
+        return "wordrate" not in extractor.__class__.__name__.lower()
+
+    def _downsample_features(self, features, story_idx: int):
+        if isinstance(features, tuple):
+            # Speech: (features, times).
+            features, times = features
+            return self.downsampler.downsample(
+                data=features,
+                data_times=times,
+                tr_times=self.assembly.get_tr_times()[story_idx],
+                split_indices=self.assembly.get_split_indices()[story_idx],
+                **self.downsample_config,
+            )
+        return self.downsampler.downsample(
+            data=features,
+            data_times=self.assembly.get_data_times()[story_idx],
+            tr_times=self.assembly.get_tr_times()[story_idx],
+            split_indices=self.assembly.get_split_indices()[story_idx],
+            **self.downsample_config,
+        )
+
+    # ------------------------------------------------------------ stage 2
+
+    def apply_fir_delays(
+        self, features: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        delayed = {}
+        for story, feat in features.items():
+            delayed[story] = FIR.make_delayed(feat, self.fir_delays)
+            logger.info("Story %s: delayed shape %s", story,
+                        delayed[story].shape)
+        return delayed
+
+    # ------------------------------------------------------------ stage 3
+
+    def structure_data(
+        self, features: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        brain_data = {
+            story: self.assembly.get_brain_data()[
+                self.assembly.stories.index(story)
+            ]
+            for story in self.stories_to_process
+        }
+        if self.use_train_test_split:
+            return self._create_train_test_split(features, brain_data)
+        return self._create_concatenated_data(features, brain_data)
+
+    def _create_train_test_split(self, features: Dict,
+                                 brain_data: Dict) -> Dict[str, np.ndarray]:
+        """LeBel style: last story held out; per-story z-score + trim + vstack
+        (reference: trainer.py:223-262)."""
+        stories = list(features.keys())
+        train_stories, test_stories = stories[:-1], stories[-1:]
+        cfg = self.trimming_config
+
+        X_train = np.nan_to_num(np.vstack([
+            zs(features[s][cfg.get("train_features_start", 0):
+                           cfg.get("train_features_end", None)])
+            for s in train_stories
+        ]))
+        Y_train = np.vstack([
+            zs(brain_data[s][cfg.get("train_targets_start", 0):
+                             cfg.get("train_targets_end", None)])
+            for s in train_stories
+        ])
+        X_test = np.nan_to_num(np.vstack([
+            zs(features[s][cfg.get("test_features_start", 0):
+                           cfg.get("test_features_end", None)])
+            for s in test_stories
+        ]))
+        Y_test = np.vstack([
+            zs(brain_data[s][cfg.get("test_targets_start", 0):
+                             cfg.get("test_targets_end", None)])
+            for s in test_stories
+        ])
+        logger.info("Train: X%s Y%s | Test: X%s Y%s", X_train.shape,
+                    Y_train.shape, X_test.shape, Y_test.shape)
+        return {"Rstim": X_train, "Rresp": Y_train,
+                "Pstim": X_test, "Presp": Y_test}
+
+    def _create_concatenated_data(self, features: Dict,
+                                  brain_data: Dict) -> Dict[str, np.ndarray]:
+        """LPP/Narratives style: concat in story order + global trim
+        (reference: trainer.py:264-282)."""
+        cfg = self.trimming_config
+        X = np.concatenate(
+            [features[s] for s in self.stories_to_process], axis=0
+        )
+        Y = np.concatenate(
+            [brain_data[s] for s in self.stories_to_process], axis=0
+        )
+        X = X[cfg.get("features_start", 0):cfg.get("features_end", None)]
+        Y = Y[cfg.get("targets_start", 0):cfg.get("targets_end", None)]
+        logger.info("Final: X%s Y%s", X.shape, Y.shape)
+        return {"X": X, "Y": Y}
+
+    # ------------------------------------------------------------ stages 4-5
+
+    def train(self, **model_kwargs) -> Dict[str, Any]:
+        """Run the complete pipeline (reference: trainer.py:284-320)."""
+        features = self.extract_and_downsample_features()
+        delayed = self.apply_fir_delays(features)
+        data = self.structure_data(delayed)
+
+        logger.info("Starting model training...")
+        if "Rstim" in data:
+            metrics, weights, best_alphas = self.model.fit_predict(
+                features=data["Rstim"], targets=data["Rresp"],
+                X_test=data["Pstim"], y_test=data["Presp"], **model_kwargs,
+            )
+        else:
+            metrics, weights, best_alphas = self.model.fit_predict(
+                features=data["X"], targets=data["Y"], **model_kwargs,
+            )
+
+        self.log_metrics(metrics)
+        self.save_model(weights, best_alphas, metrics, model_kwargs)
+        logger.info("Training complete. Median correlation: %.4f",
+                    metrics["median_score"])
+        return metrics
+
+    def log_metrics(self, metrics: Dict):
+        log = self.experiment_logger
+        log.log_scalar("median_correlation", float(metrics["median_score"]))
+        log.log_scalar("mean_correlation", float(metrics["mean_score"]))
+        log.log_scalar("std_correlation", float(metrics["std_score"]))
+        if "correlations" in metrics and "significant_mask" in metrics:
+            correlations = np.array(metrics["correlations"])
+            mask = np.array(metrics["significant_mask"], dtype=bool)
+            # Surface plots only apply at fsaverage5 resolution; other voxel
+            # counts are treated as volume-style (histograms only).
+            is_volume = correlations.shape[0] != 20484
+            try:
+                self.brain_plotter.log_plots(correlations, mask, "", None,
+                                             is_volume)
+            except Exception as e:
+                logger.warning("Brain plotting failed: %s", e)
+        if "best_alpha" in metrics:
+            log.log_scalar("best_alpha", float(metrics["best_alpha"]))
+        if "n_significant" in metrics:
+            log.log_scalar("n_significant_voxels",
+                           float(metrics["n_significant"]))
+
+    def save_model(self, weights, best_alphas, metrics, model_kwargs):
+        hyperparams = {
+            "fir_delays": self.fir_delays,
+            "trimming_config": self.trimming_config,
+            "use_train_test_split": self.use_train_test_split,
+            "downsample_config": self.downsample_config,
+            "layer_idx": self.layer_idx,
+            "lookback": self.lookback,
+            "dataset_type": self.dataset_type,
+            "stories_processed": len(self.stories_to_process),
+            **model_kwargs,
+        }
+        self.model_saver.save_encoding_model(
+            weights=weights, best_alphas=best_alphas,
+            hyperparams=hyperparams, metrics=metrics,
+        )

@@ -1,0 +1,228 @@
+"""Feature extractors: wordrate, embeddings, LM (tiny random flax GPT-2)."""
+
+import numpy as np
+import pytest
+
+from litcoder_core_tpu.features.embeddings import (
+    SimpleKeyedVectors,
+    StaticEmbeddingFeatureExtractor,
+)
+from litcoder_core_tpu.features.factory import FeatureExtractorFactory
+from litcoder_core_tpu.features.simple_features import WordRateFeatureExtractor
+
+rng = np.random.default_rng(5)
+
+
+# ---- wordrate ----------------------------------------------------------------
+
+def test_wordrate_reshapes():
+    ex = WordRateFeatureExtractor({})
+    out = ex.extract_features(np.arange(7.0))
+    assert out.shape == (7, 1)
+    out2 = ex.extract_features([1.0, 2.0, 3.0])
+    assert out2.shape == (3, 1)
+    with pytest.raises(ValueError, match="Unexpected stimuli shape"):
+        ex.extract_features(np.zeros((3, 2)))
+
+
+# ---- embeddings ----------------------------------------------------------------
+
+@pytest.fixture
+def kv_file(tmp_path):
+    vocab = ["the", "cat", "sat", "mat"]
+    vectors = rng.normal(size=(4, 5)).astype(np.float32)
+    kv = SimpleKeyedVectors(vocab, vectors)
+    path = str(tmp_path / "vecs.kv")
+    kv.save_kv(path)
+    return path, vocab, vectors
+
+
+def test_embeddings_lookup(kv_file):
+    path, vocab, vectors = kv_file
+    ex = StaticEmbeddingFeatureExtractor({"vector_path": path})
+    out = ex.extract_features(["the", "cat"])
+    assert np.allclose(out, vectors[:2])
+
+
+def test_embeddings_oov_policies(kv_file):
+    path, vocab, vectors = kv_file
+    tokens = ["the", "UNKNOWN", "cat"]
+    for policy, check in [
+        ("zero", lambda o: np.allclose(o[1], 0)),
+        ("copy_prev", lambda o: np.allclose(o[1], vectors[0])),
+        ("skip", lambda o: o.shape[0] == 2),
+    ]:
+        ex = StaticEmbeddingFeatureExtractor(
+            {"vector_path": path, "oov_handling": policy, "lowercase": False}
+        )
+        out = ex.extract_features(tokens)
+        assert check(out), policy
+    ex = StaticEmbeddingFeatureExtractor(
+        {"vector_path": path, "oov_handling": "error", "lowercase": False}
+    )
+    with pytest.raises(KeyError):
+        ex.extract_features(tokens)
+
+
+def test_embeddings_oov_before_first_valid(kv_file):
+    path, _, vectors = kv_file
+    ex = StaticEmbeddingFeatureExtractor(
+        {"vector_path": path, "oov_handling": "copy_prev", "lowercase": False}
+    )
+    out = ex.extract_features(["UNK", "the"])
+    assert np.allclose(out[0], 0.0)
+    assert np.allclose(out[1], vectors[0])
+
+
+def test_embeddings_word2vec_text_roundtrip(tmp_path):
+    path = tmp_path / "w2v.w2v.txt"
+    path.write_text("2 3\nfoo 1.0 2.0 3.0\nbar 4.0 5.0 6.0\n")
+    ex = StaticEmbeddingFeatureExtractor({"vector_path": str(path)})
+    out = ex.extract_features(["foo", "bar"])
+    assert np.allclose(out, [[1, 2, 3], [4, 5, 6]])
+
+
+def test_embeddings_glove_no_header(tmp_path):
+    path = tmp_path / "glove.txt"
+    path.write_text("foo 1.0 2.0\nbar 3.0 4.0\n")
+    ex = StaticEmbeddingFeatureExtractor({"vector_path": str(path)})
+    out = ex.extract_features("foo bar")
+    assert np.allclose(out, [[1, 2], [3, 4]])
+
+
+def test_embeddings_l2_normalize(kv_file):
+    path, _, _ = kv_file
+    ex = StaticEmbeddingFeatureExtractor(
+        {"vector_path": path, "l2_normalize_tokens": True, "lowercase": False}
+    )
+    out = ex.extract_features(["the", "cat"])
+    assert np.allclose(np.linalg.norm(out, axis=1), 1.0, atol=1e-5)
+
+
+# ---- language model (tiny random flax GPT-2) ---------------------------------
+
+class StubTokenizer:
+    """Offline word-hash tokenizer exposing the interface the extractor uses
+    (encode + bos/pad/eos token ids). No network, deterministic."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+    pad_token_id = 0
+
+    def encode(self, text):
+        return [3 + (hash(w) % 500) for w in text.split()]
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    from transformers import FlaxGPT2Model, GPT2Config
+
+    config = GPT2Config(
+        vocab_size=600, n_positions=128, n_embd=16, n_layer=3, n_head=2
+    )
+    model = FlaxGPT2Model(config, seed=0)
+    return model, StubTokenizer()
+
+
+@pytest.fixture(scope="module")
+def lm_extractor(tiny_lm):
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model, tokenizer = tiny_lm
+    return LanguageModelFeatureExtractor({
+        "model_name": "tiny-gpt2-random",
+        "model": model,
+        "tokenizer": tokenizer,
+        "last_token": True,
+        "batch_size": 4,
+    })
+
+
+def test_lm_all_layers_shapes(lm_extractor):
+    texts = ["hello world", "the cat sat", "", "one more text here"]
+    out = lm_extractor.extract_all_layers(texts)
+    assert set(out.keys()) == {0, 1, 2}
+    for layer, feats in out.items():
+        assert feats.shape == (4, 16)
+    # empty text -> zeros in all layers (reference language_model.py:170-175)
+    for layer in out:
+        assert np.allclose(out[layer][2], 0.0)
+    # layer 0 = hidden_states[0] = embeddings (resid_pre of block 0) differs
+    # from layer 2
+    assert not np.allclose(out[0][0], out[2][0])
+
+
+def test_lm_batching_invariance(lm_extractor):
+    """Features must not depend on batch composition or padding."""
+    texts = ["short", "a much longer text with several tokens in it",
+             "mid length text"]
+    together = lm_extractor.extract_all_layers(texts)
+    separate = [lm_extractor.extract_all_layers([t]) for t in texts]
+    for layer in together:
+        for i in range(3):
+            assert np.allclose(
+                together[layer][i], separate[i][layer][0], atol=1e-4
+            ), (layer, i)
+
+
+def test_lm_single_layer_matches_all_layers(lm_extractor):
+    texts = ["hello world", "another"]
+    all_layers = lm_extractor.extract_all_layers(texts)
+    single = lm_extractor.extract_features(texts, layer_idx=1)
+    assert np.allclose(single, all_layers[1], atol=1e-5)
+
+
+def test_lm_mean_pooling(tiny_lm):
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model, tokenizer = tiny_lm
+    ex = LanguageModelFeatureExtractor({
+        "model_name": "tiny-gpt2-random",
+        "model": model,
+        "tokenizer": tokenizer,
+        "last_token": False,
+    })
+    out = ex.extract_all_layers(["hello world"])
+    assert out[0].shape == (1, 16)
+    assert np.isfinite(out[0]).all()
+
+
+def test_lm_config_validation():
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    with pytest.raises(ValueError, match="model_name"):
+        LanguageModelFeatureExtractor({})
+    with pytest.raises(ValueError, match="context_type"):
+        LanguageModelFeatureExtractor(
+            {"model_name": "x", "context_type": "bogus"}
+        )
+
+
+# ---- factory -------------------------------------------------------------------
+
+def test_factory_unknown_modality():
+    with pytest.raises(ValueError, match="Unsupported modality"):
+        FeatureExtractorFactory.create_extractor("bogus", "x", {})
+
+
+def test_factory_wordrate_roundtrip():
+    ex = FeatureExtractorFactory.create_extractor("wordrate", "wordrate", {})
+    assert isinstance(ex, WordRateFeatureExtractor)
+
+
+def test_factory_register_custom():
+    class MyExtractor(WordRateFeatureExtractor):
+        pass
+
+    FeatureExtractorFactory.register_extractor("my_custom", MyExtractor)
+    try:
+        ex = FeatureExtractorFactory.create_extractor("my_custom", "m", {})
+        assert isinstance(ex, MyExtractor)
+    finally:
+        del FeatureExtractorFactory._extractors["my_custom"]

@@ -1,0 +1,262 @@
+"""End-to-end trainer tests mirroring the reference's de-facto smoke test
+(train_simple.py: assembly -> wordrate -> FIR -> trim -> nested-CV ridge)."""
+
+import numpy as np
+import pytest
+
+from litcoder_core_tpu import (
+    AbstractTrainer,
+    Downsampler,
+    NestedCVModel,
+    SimpleNeuroidAssembly,
+    StoryData,
+    load_assembly,
+    save_assembly,
+)
+from litcoder_core_tpu.features.factory import FeatureExtractorFactory
+
+rng = np.random.default_rng(7)
+
+
+N_VOX = 12
+# ONE ground-truth weight set shared by all synthetic stories, so the signal
+# transfers from train stories to the held-out test story.
+TRUE_WEIGHTS = np.random.default_rng(99).normal(size=(4, N_VOX)).astype(
+    np.float32
+)
+
+
+def _make_story(name: str, n_trs: int = 80, n_vox: int = N_VOX,
+                words_per_tr: float = 3.0, signal_scale: float = 1.0):
+    """Synthetic story whose brain data carries word-rate signal."""
+    n_words = int(n_trs * words_per_tr)
+    tr = 2.0
+    tr_times = np.arange(n_trs) * tr + tr / 2
+    data_times = np.sort(rng.uniform(0, n_trs * tr, n_words))
+    split_indices = np.clip((data_times // tr).astype(int), 0, n_trs - 1)
+    word_rates = np.bincount(split_indices, minlength=n_trs).astype(np.float32)
+
+    # Brain data = HRF-ish delayed word rate + noise.
+    delayed = np.stack(
+        [np.roll(word_rates, d) for d in [1, 2, 3, 4]], axis=1
+    ).astype(np.float32)
+    brain = signal_scale * delayed @ TRUE_WEIGHTS + rng.normal(
+        size=(n_trs, n_vox)
+    ).astype(np.float32)
+
+    words = [f"w{i}" for i in range(n_words)]
+    return StoryData(
+        name=name,
+        brain_data=brain.astype(np.float32),
+        stimuli=words,  # one "context" per word
+        split_indices=split_indices.tolist(),
+        tr_times=tr_times,
+        data_times=data_times,
+        word_rates=word_rates,
+        words=words,
+    )
+
+
+@pytest.fixture
+def assembly():
+    stories = [_make_story(f"story{i}") for i in range(4)]
+    return SimpleNeuroidAssembly(stories, validation_method="outer")
+
+
+def test_assembly_accessors(assembly):
+    assert len(assembly.stories) == 4
+    assert assembly.get_validation_method() == "outer"
+    assert assembly.data.shape[0] == sum(
+        sd.brain_data.shape[0] for sd in assembly.story_data.values()
+    )
+    assert len(assembly.get_word_rates()) == 4
+    # coords are per-STIMULUS (word), not per-TR (reference assemblies.py:29-42)
+    total_stimuli = sum(
+        len(sd.stimuli) for sd in assembly.story_data.values()
+    )
+    assert assembly.get_coord("story_id").shape[0] == total_stimuli
+
+
+def test_assembly_pickle_roundtrip(assembly, tmp_path):
+    path = str(tmp_path / "asm.pkl")
+    save_assembly(assembly, path)
+    loaded = load_assembly(path)
+    assert loaded.stories == assembly.stories
+    assert np.allclose(loaded.data, assembly.data)
+
+
+def test_reference_pickle_class_aliasing(assembly, tmp_path):
+    """A pickle naming the ORIGINAL encoding.assembly.* classes must load."""
+    import pickle
+    import sys
+    import types
+
+    # Fabricate the reference's module layout and pickle the assembly under
+    # those class paths, exactly as a reference-written pickle would record.
+    mods = {
+        "encoding": types.ModuleType("encoding"),
+        "encoding.assembly": types.ModuleType("encoding.assembly"),
+        "encoding.assembly.assemblies":
+            types.ModuleType("encoding.assembly.assemblies"),
+        "encoding.assembly.story_data":
+            types.ModuleType("encoding.assembly.story_data"),
+    }
+    mods["encoding.assembly.assemblies"].SimpleNeuroidAssembly = (
+        SimpleNeuroidAssembly
+    )
+    mods["encoding.assembly.story_data"].StoryData = StoryData
+    saved_modules = {k: sys.modules.get(k) for k in mods}
+    saved_attrs = (SimpleNeuroidAssembly.__module__, StoryData.__module__)
+    sys.modules.update(mods)
+    SimpleNeuroidAssembly.__module__ = "encoding.assembly.assemblies"
+    StoryData.__module__ = "encoding.assembly.story_data"
+    try:
+        path = tmp_path / "ref_style.pkl"
+        path.write_bytes(pickle.dumps(assembly))
+    finally:
+        SimpleNeuroidAssembly.__module__, StoryData.__module__ = saved_attrs
+        for k, v in saved_modules.items():
+            if v is None:
+                del sys.modules[k]
+            else:
+                sys.modules[k] = v
+
+    assert "encoding.assembly" not in sys.modules  # loader must not need it
+    loaded = load_assembly(str(path))
+    assert loaded.stories == assembly.stories
+    assert isinstance(loaded, SimpleNeuroidAssembly)
+
+
+def test_trainer_wordrate_train_test_split(assembly, tmp_path):
+    """The train_simple.py-equivalent run: wordrate + FIR + LeBel trimming."""
+    extractor = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}, cache_dir=str(tmp_path / "cache")
+    )
+    trainer = AbstractTrainer(
+        assembly=assembly,
+        feature_extractors=[extractor],
+        downsampler=Downsampler(),
+        model=NestedCVModel(model_name="ridge_regression", seed=0),
+        fir_delays=[1, 2, 3, 4],
+        trimming_config={
+            "train_features_start": 10, "train_features_end": -5,
+            "train_targets_start": 10, "train_targets_end": -5,
+            "test_features_start": 10, "test_features_end": -5,
+            "test_targets_start": 10, "test_targets_end": -5,
+        },
+        use_train_test_split=True,
+        dataset_type="lebel",
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+    )
+    metrics = trainer.train(chunk_length=10, n_inner_folds=3)
+    assert metrics["median_score"] > 0.25  # word-rate signal recovered
+    assert "n_significant" in metrics
+    # Artifacts persisted.
+    runs = trainer.model_saver.list_runs()
+    assert len(runs) == 1
+
+
+def test_trainer_concatenated_mode(assembly, tmp_path):
+    extractor = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}, cache_dir=str(tmp_path / "cache")
+    )
+    trainer = AbstractTrainer(
+        assembly=assembly,
+        feature_extractors=[extractor],
+        downsampler=Downsampler(),
+        model=NestedCVModel(seed=0),
+        fir_delays=[1, 2, 3, 4],
+        trimming_config={},
+        use_train_test_split=False,
+        dataset_type="narratives",
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+    )
+    metrics = trainer.train(
+        chunk_length=10, n_outer_folds=3, n_inner_folds=3
+    )
+    assert metrics["median_score"] > 0.2
+    assert "majority_significant_mask" in metrics
+
+
+def test_trainer_lm_features_with_cache(assembly, tmp_path):
+    """LM modality through the full trainer, twice (second run = cache hit)."""
+    from transformers import FlaxGPT2Model, GPT2Config
+
+    from tests.test_features import StubTokenizer
+
+    config = GPT2Config(vocab_size=600, n_positions=64, n_embd=8,
+                        n_layer=2, n_head=2)
+    model = FlaxGPT2Model(config, seed=0)
+    tokenizer = StubTokenizer()
+    extractor = FeatureExtractorFactory.create_extractor(
+        "language_model", "tiny-gpt2",
+        {"model": model, "tokenizer": tokenizer, "last_token": True,
+         "batch_size": 16},
+        cache_dir=str(tmp_path / "cache"),
+    )
+    kwargs = dict(
+        assembly=assembly,
+        feature_extractors=[extractor],
+        downsampler=Downsampler(),
+        model=NestedCVModel(seed=0),
+        fir_delays=[1, 2],
+        trimming_config={},
+        use_train_test_split=False,
+        layer_idx=1,
+        dataset_type="narratives",
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+        downsample_config={"method": "average"},
+        story_selection=[assembly.stories[0], assembly.stories[1]],
+    )
+    m1 = AbstractTrainer(**kwargs).train(
+        chunk_length=10, n_outer_folds=3, n_inner_folds=3
+    )
+    # Cache files written once per story.
+    n_cache = len(list((tmp_path / "cache").glob("*.npz")))
+    assert n_cache == 2
+    m2 = AbstractTrainer(**kwargs).train(
+        chunk_length=10, n_outer_folds=3, n_inner_folds=3
+    )
+    assert len(list((tmp_path / "cache").glob("*.npz"))) == 2  # hit, no new
+    assert np.allclose(m1["median_score"], m2["median_score"], atol=1e-6)
+
+
+def test_trainer_multi_extractor_concat(assembly, tmp_path):
+    """wordrate + embeddings hstack with timepoint alignment
+    (reference: trainer.py:146-150)."""
+    from litcoder_core_tpu.features.embeddings import SimpleKeyedVectors
+
+    n_words_total = max(len(sd.words) for sd in assembly.story_data.values())
+    vocab = [f"w{i}" for i in range(n_words_total)]
+    kv = SimpleKeyedVectors(vocab, rng.normal(size=(len(vocab), 6)))
+    kv_path = str(tmp_path / "v.kv")
+    kv.save_kv(kv_path)
+
+    wordrate = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}
+    )
+    emb = FeatureExtractorFactory.create_extractor(
+        "embeddings", "test-vecs",
+        {"vector_path": kv_path, "lowercase": False},
+    )
+    trainer = AbstractTrainer(
+        assembly=assembly,
+        feature_extractors=[wordrate, emb],
+        downsampler=Downsampler(),
+        model=NestedCVModel(seed=0),
+        fir_delays=[1, 2],
+        trimming_config={},
+        use_train_test_split=False,
+        dataset_type="narratives",
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+        downsample_config={"method": "average"},
+        story_selection=[assembly.stories[0]],
+    )
+    feats = trainer.extract_and_downsample_features()
+    story0 = assembly.stories[0]
+    # 1 wordrate col + 6 embedding cols
+    assert feats[story0].shape[1] == 7
