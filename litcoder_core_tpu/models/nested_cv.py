@@ -60,6 +60,7 @@ def _find_best_alphas(
     use_corr: bool,
     singcutoff: float,
     voxel_chunk_size: Optional[int],
+    method: str = "auto",
 ) -> np.ndarray:
     """Inner-CV alpha search: mean fold score per (alpha, voxel), then argmax.
 
@@ -73,7 +74,7 @@ def _find_best_alphas(
     for train_idx, val_idx in fold_splits:
         tr = jnp.asarray(train_idx)
         va = jnp.asarray(val_idx)
-        svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff)
+        svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff, method=method)
         nalphas = alphas_j * svd.S[0] if normalpha else alphas_j
         chunks = []
         for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
@@ -104,11 +105,12 @@ def _fit_and_score(
     normalpha: bool,
     singcutoff: float,
     voxel_chunk_size: Optional[int],
+    method: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Refit with per-voxel alphas, predict held-out, return
     (weights (D,V), correlations (V,), pvalues (V,)) as numpy."""
     n_voxels = Y_train.shape[1]
-    svd = ridge_svd(X_train, None, singcutoff=singcutoff)
+    svd = ridge_svd(X_train, None, singcutoff=singcutoff, method=method)
     valphas_j = jnp.asarray(valphas, jnp.float32)
     nalphas = valphas_j * svd.S[0] if normalpha else valphas_j
 
@@ -148,11 +150,14 @@ def fit_nested_cv(
     singcutoff: float = 1e-10,
     seed: int = 0,
     voxel_chunk_size: Optional[int] = None,
+    method: str = "auto",
 ) -> Tuple[Metrics, np.ndarray, np.ndarray]:
     """Nested-CV ridge fit. Signature and return contract match
     NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with two
-    additions: `seed` (reproducible folds) and `voxel_chunk_size` (HBM
-    streaming; None = all voxels at once).
+    additions: `seed` (reproducible folds), `voxel_chunk_size` (HBM
+    streaming; None = all voxels at once), and `method`
+    ('auto'|'eigh'|'svd' spectral path — eigh of the Gram matrix is the fast
+    MXU formulation for tall designs; see models/ridge.py).
 
     Returns:
         (metrics, weights (n_features, n_voxels), best_alphas (n_voxels,))
@@ -185,11 +190,11 @@ def fit_nested_cv(
         )
         best_valphas = _find_best_alphas(
             features_j, targets_j, inner_splits, alphas, single_alpha,
-            normalpha, use_corr, singcutoff, voxel_chunk_size,
+            normalpha, use_corr, singcutoff, voxel_chunk_size, method,
         )
         wt, correlations, pvalues = _fit_and_score(
             features_j, targets_j, X_test_j, y_test_j, best_valphas,
-            normalpha, singcutoff, voxel_chunk_size,
+            normalpha, singcutoff, voxel_chunk_size, method,
         )
         significant, corrected_pvals = map(
             np.asarray, bh_fdrcorrection(jnp.asarray(pvalues), alpha=alpha_fdr)
@@ -238,13 +243,13 @@ def fit_nested_cv(
 
         best_valphas = _find_best_alphas(
             X_train, y_train, inner_splits, alphas, single_alpha, normalpha,
-            use_corr, singcutoff, voxel_chunk_size,
+            use_corr, singcutoff, voxel_chunk_size, method,
         )
         fold_valphas.append(best_valphas)
 
         wt, correlations, pvalues = _fit_and_score(
             X_train, y_train, X_te, y_te, best_valphas, normalpha, singcutoff,
-            voxel_chunk_size,
+            voxel_chunk_size, method,
         )
         fold_weights.append(wt)
         fold_scores.append(correlations)

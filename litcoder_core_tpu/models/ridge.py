@@ -3,14 +3,22 @@
 Re-designs reference encoding/models/ridge_regression.py (a torch port of the
 HuthLab ridge) as pure jitted JAX programs:
 
-- `svd_masked`: economy SVD with singular values *masked* (zeroed) below
-  `singcutoff` instead of truncated (ridge_utils.py:34-67 truncates, which
-  gives dynamic shapes; masking is numerically identical because the ridge
-  diagonal D = S/(S^2+a^2) vanishes for masked components, and keeps every
-  shape static for XLA).
+- `ridge_svd`: the spectral stage. Two methods:
+    * 'svd' — economy SVD of (T, D), singular values MASKED (zeroed) below
+      `singcutoff` instead of truncated (ridge_utils.py:34-67 truncates, which
+      gives dynamic shapes; masking is numerically identical because the ridge
+      diagonal D = S/(S^2+a^2) vanishes for masked components, and keeps every
+      shape static for XLA).
+    * 'eigh' — eigendecompose the (D, D) Gram matrix X^T X instead: one MXU
+      matmul + a small symmetric eigensolve, S = sqrt(eigvals),
+      V = eigvecs, and U is NEVER materialized — U^T Y is computed as
+      S^-1 V^T (X^T Y), again a pure matmul. For tall designs (T >> D, the
+      encoding-model regime: ~27k TRs x ~3k FIR features) this replaces an
+      O(T D^2) iterative SVD with MXU-saturating matmuls.
+    * 'auto' — eigh when T >= D, else svd.
 - `ridge_corr`: the reference loops over the alpha grid in Python rebuilding
   diag-matmuls per alpha (ridge_regression.py:115-134); here the whole grid is
-  one lax.map over a closed-over SVD, each step a single fused
+  one lax.map over a closed-over spectral state, each step a single fused
   matmul-plus-correlation. No SVD recomputation, no host sync.
 - `ridge_fit`: the reference groups voxels by unique alpha in a Python loop
   with boolean gathers (ridge_regression.py:49-62); here the per-voxel ridge
@@ -19,9 +27,9 @@ HuthLab ridge) as pure jitted JAX programs:
 - `ridge_corr_pred`: same dense formulation for per-voxel-alpha scoring
   (ridge_regression.py:144-216).
 
-The SVD stage is factored out (`ridge_svd`) so the nested-CV driver computes
-it once per fold and streams voxel chunks through the scoring stage — the
-feature matrix and its SVD are tiny next to (T x 95k) response matrices.
+The spectral stage is factored out so the nested-CV driver computes it once
+per fold and streams voxel chunks through the scoring stage — the feature
+matrix and its factorization are tiny next to (T x 95k) response matrices.
 
 All matmuls run at Precision.HIGHEST so float32 parity with the torch
 reference holds on TPU (bf16 MXU passes would break the 1e-3 tolerance).
@@ -39,22 +47,23 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 
 
 class RidgeSVD(NamedTuple):
-    """SVD products shared by every voxel chunk of one fold."""
+    """Spectral state shared by every voxel chunk of one fold."""
 
-    U: jax.Array       # (Tr, k) left singular vectors
-    S: jax.Array       # (k,) singular values (masked ones still present)
-    Vh: jax.Array      # (k, D) right singular vectors
-    good: jax.Array    # (k,) bool mask: S > singcutoff
+    U: Optional[jax.Array]    # (T, k) left vectors, or None (eigh path)
+    S: jax.Array              # (k,) singular values
+    Vh: jax.Array             # (k, D) right vectors
+    good: jax.Array           # (k,) bool mask: S > singcutoff
     PVh: Optional[jax.Array]  # (Tp, k) validation stimuli in singular basis
+    X: Optional[jax.Array]    # (T, D) training stimuli (for U-free products)
 
 
 def svd_masked(X, singcutoff: float = 1e-10):
     """Economy SVD of (T, D) with tiny singular values masked to zero.
 
-    Returns (U, S, Vh, good) where good = S > singcutoff. Downstream ridge
-    math multiplies by `good` so masked components contribute exactly nothing,
-    matching the reference's truncation (encoding/models/ridge_utils.py:44-47,
-    61-65) with static shapes.
+    Returns (U, S, Vh, good) where good = S > singcutoff; downstream math
+    multiplies by `good` so masked components contribute exactly nothing,
+    matching the reference's truncation (ridge_utils.py:44-47) with static
+    shapes.
     """
     X = jnp.asarray(X, jnp.float32)
     U, S, Vh = jnp.linalg.svd(X, full_matrices=False)
@@ -62,16 +71,46 @@ def svd_masked(X, singcutoff: float = 1e-10):
     return U, S, Vh, good
 
 
-@partial(jax.jit, static_argnames=("singcutoff",))
-def ridge_svd(Rstim, Pstim=None, singcutoff: float = 1e-10) -> RidgeSVD:
-    """SVD stage: factor the training stimuli, project validation stimuli."""
-    U, S, Vh, good = svd_masked(Rstim, singcutoff)
+@partial(jax.jit, static_argnames=("singcutoff", "method"))
+def ridge_svd(Rstim, Pstim=None, singcutoff: float = 1e-10,
+              method: str = "auto") -> RidgeSVD:
+    """Spectral stage: factor training stimuli, project validation stimuli."""
+    Rstim = jnp.asarray(Rstim, jnp.float32)
+    T, D = Rstim.shape
+    if method == "auto":
+        method = "eigh" if T >= D else "svd"
+
+    if method == "eigh":
+        gram = jnp.dot(Rstim.T, Rstim, precision=_HIGHEST)  # (D, D)
+        evals, evecs = jnp.linalg.eigh(gram)  # ascending
+        evals = jnp.flip(evals)
+        evecs = jnp.flip(evecs, axis=1)
+        S = jnp.sqrt(jnp.maximum(evals, 0.0))
+        Vh = evecs.T
+        good = S > singcutoff
+        U = None
+        keepX = Rstim
+    else:
+        U, S, Vh, good = svd_masked(Rstim, singcutoff)
+        keepX = None
+
     PVh = None
     if Pstim is not None:
-        PVh = jnp.dot(
-            jnp.asarray(Pstim, jnp.float32), Vh.T, precision=_HIGHEST
-        )
-    return RidgeSVD(U, S, Vh, good, PVh)
+        PVh = jnp.dot(jnp.asarray(Pstim, jnp.float32), Vh.T,
+                      precision=_HIGHEST)
+    return RidgeSVD(U, S, Vh, good, PVh, keepX)
+
+
+def _ur_product(svd: RidgeSVD, Rresp):
+    """UR = U^T Y: direct on the svd path; S^-1 V^T (X^T Y) on the eigh path
+    (U never materialized)."""
+    Rresp = jnp.asarray(Rresp, jnp.float32)
+    if svd.U is not None:
+        return jnp.dot(svd.U.T, Rresp, precision=_HIGHEST)
+    XtY = jnp.dot(svd.X.T, Rresp, precision=_HIGHEST)     # (D, V)
+    VtXtY = jnp.dot(svd.Vh, XtY, precision=_HIGHEST)       # (k, V)
+    inv_s = jnp.where(svd.good, 1.0 / jnp.where(svd.good, svd.S, 1.0), 0.0)
+    return inv_s[:, None] * VtXtY
 
 
 def _normalize_alphas(alphas, svd: RidgeSVD, normalpha: bool):
@@ -102,9 +141,8 @@ def ridge_corr_from_svd(svd: RidgeSVD, Rresp, Presp, nalphas,
         (A, Vc) correlations (NaN -> 0), matching ridge_corr_torch
         (encoding/models/ridge_regression.py:104-141).
     """
-    Rresp = jnp.asarray(Rresp, jnp.float32)
     Presp = jnp.asarray(Presp, jnp.float32)
-    UR = jnp.dot(svd.U.T, Rresp, precision=_HIGHEST)  # (k, Vc)
+    UR = _ur_product(svd, Rresp)  # (k, Vc)
     zPresp = zscore(Presp, axis=0)
     Prespvar = jnp.var(Presp, axis=0, ddof=1)
 
@@ -120,14 +158,14 @@ def ridge_corr_from_svd(svd: RidgeSVD, Rresp, Presp, nalphas,
         return jnp.nan_to_num(rcorr, nan=0.0, posinf=0.0, neginf=0.0)
 
     # lax.map keeps peak memory at one (Tp, Vc) prediction; all A steps stay
-    # on device back-to-back with the SVD products resident in HBM.
+    # on device back-to-back with the spectral products resident in HBM.
     return jax.lax.map(score_one_alpha, jnp.asarray(nalphas, jnp.float32))
 
 
 @jax.jit
 def ridge_fit_from_svd(svd: RidgeSVD, Rresp, nalphas):
     """Weights for one voxel chunk given pre-normalized per-voxel alphas."""
-    UR = jnp.dot(svd.U.T, jnp.asarray(Rresp, jnp.float32), precision=_HIGHEST)
+    UR = _ur_product(svd, Rresp)
     D = _shrinkage_per_voxel(svd, jnp.asarray(nalphas, jnp.float32))
     return jnp.dot(svd.Vh.T, D * UR, precision=_HIGHEST)  # (D_feat, Vc)
 
@@ -138,13 +176,13 @@ def ridge_fit_from_svd(svd: RidgeSVD, Rresp, nalphas):
 
 
 def ridge_fit(Rstim, Rresp, valphas, singcutoff: float = 1e-30,
-              normalpha: bool = False):
+              normalpha: bool = False, method: str = "svd"):
     """Ridge weights with scalar or per-voxel alphas: (D, V).
 
     Drop-in for ridge_torch (encoding/models/ridge_regression.py:9-63).
     """
     Rresp = jnp.asarray(Rresp, jnp.float32)
-    svd = ridge_svd(Rstim, None, singcutoff=singcutoff)
+    svd = ridge_svd(Rstim, None, singcutoff=singcutoff, method=method)
     valphas = jnp.atleast_1d(jnp.asarray(valphas, jnp.float32))
     if valphas.shape[0] == 1:
         valphas = jnp.broadcast_to(valphas, (Rresp.shape[1],))
@@ -153,20 +191,21 @@ def ridge_fit(Rstim, Rresp, valphas, singcutoff: float = 1e-30,
 
 
 def ridge_corr(Rstim, Pstim, Rresp, Presp, alphas, singcutoff: float = 1e-30,
-               use_corr: bool = True, normalpha: bool = False):
+               use_corr: bool = True, normalpha: bool = False,
+               method: str = "svd"):
     """(A, V) alpha-grid scores. Drop-in for ridge_corr_torch
     (encoding/models/ridge_regression.py:66-141)."""
-    svd = ridge_svd(Rstim, Pstim, singcutoff=singcutoff)
+    svd = ridge_svd(Rstim, Pstim, singcutoff=singcutoff, method=method)
     nalphas = _normalize_alphas(alphas, svd, normalpha)
     return ridge_corr_from_svd(svd, Rresp, Presp, nalphas, use_corr=use_corr)
 
 
 def ridge_corr_pred(Rstim, Pstim, Rresp, Presp, valphas,
                     singcutoff: float = 1e-30, use_corr: bool = True,
-                    normalpha: bool = True):
+                    normalpha: bool = True, method: str = "svd"):
     """(V,) held-out scores with per-voxel alphas. Drop-in for
     ridge_corr_pred_torch (encoding/models/ridge_regression.py:144-216)."""
-    svd = ridge_svd(Rstim, Pstim, singcutoff=singcutoff)
+    svd = ridge_svd(Rstim, Pstim, singcutoff=singcutoff, method=method)
     nalphas = _normalize_alphas(
         jnp.asarray(valphas, jnp.float32), svd, normalpha
     )
@@ -179,7 +218,7 @@ def ridge_corr_pred(Rstim, Pstim, Rresp, Presp, valphas,
 @partial(jax.jit, static_argnames=("use_corr",))
 def _ridge_corr_pred_from_svd(svd: RidgeSVD, Rresp, Presp, nalphas,
                               use_corr: bool = True):
-    UR = jnp.dot(svd.U.T, Rresp, precision=_HIGHEST)  # (k, V)
+    UR = _ur_product(svd, Rresp)  # (k, V)
     D = _shrinkage_per_voxel(svd, nalphas)  # (k, V)
     pred = jnp.dot(svd.PVh, D * UR, precision=_HIGHEST)  # (Tp, V)
     if use_corr:

@@ -1,0 +1,21 @@
+"""Scale-out layer: device meshes and voxel-sharded nested-CV ridge.
+
+The reference has no distributed layer at all (SURVEY.md §2.3-2.4: single
+process, no collectives). The TPU-native design shards the embarrassingly
+parallel VOXEL axis across chips over ICI: responses Y, per-voxel alphas,
+weights, and metrics are sharded; stimuli X and its spectral factorization
+are replicated; the solve itself needs zero communication, and only scalar
+metric reductions (median/counts) gather.
+"""
+
+from litcoder_core_tpu.parallel.mesh import make_mesh, shard_voxels, VOX_AXIS
+from litcoder_core_tpu.parallel.step import (
+    make_nested_cv_step,
+    nested_cv_step,
+    pad_voxels,
+)
+
+__all__ = [
+    "make_mesh", "shard_voxels", "VOX_AXIS",
+    "make_nested_cv_step", "nested_cv_step", "pad_voxels",
+]

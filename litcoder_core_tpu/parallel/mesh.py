@@ -1,0 +1,40 @@
+"""Device-mesh construction and voxel-axis sharding helpers.
+
+1-D mesh over the voxel axis: per-voxel ridge problems are independent
+(SURVEY.md §5.8), so Y/(alphas)/(weights)/(metrics) shard over 'vox' with
+zero ICI traffic in the solve; X and the spectral state replicate.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+VOX_AXIS = "vox"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices=None, axis: str = VOX_AXIS) -> Mesh:
+    """1-D mesh over `axis` using the first n_devices JAX devices."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_voxels(array, mesh: Mesh, axis: str = VOX_AXIS):
+    """Place an array with its LAST axis sharded over the mesh.
+
+    Works for (T, V) responses, (V,) alphas, (D, V) weights. The voxel count
+    must be a multiple of the mesh size (pad with `pad_voxels` first).
+    """
+    ndim = np.ndim(array)
+    spec = P(*([None] * (ndim - 1) + [axis]))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def replicate(array, mesh: Mesh):
+    """Fully replicate an array over the mesh."""
+    return jax.device_put(array, NamedSharding(mesh, P()))

@@ -1,0 +1,153 @@
+"""The fused nested-CV ridge training step — one jitted program.
+
+This is the flagship compute kernel of the framework: the ENTIRE train/test
+nested-CV fit (inner-fold alpha search vmapped over folds, per-voxel argmax,
+full-train refit, held-out prediction, voxelwise Pearson r + p) as a single
+XLA program. The reference runs this as dozens of Python-level steps with a
+fresh SVD per fold and serial host scoring
+(encoding/models/nested_cv.py:105-171, 334-415).
+
+Sharding: all inputs/outputs with a voxel axis may be sharded over a 1-D
+mesh ('vox'); X / fold indices / the spectral state replicate. XLA then runs
+the whole step with zero collectives in the solve (per-voxel problems are
+independent) — the SPMD partitioner confirms this: only the final scalar
+reductions communicate.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from litcoder_core_tpu.models.ridge import (
+    ridge_corr_from_svd,
+    ridge_fit_from_svd,
+    ridge_svd,
+)
+from litcoder_core_tpu.ops.stats import pearson_pvalues, pearson_r
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+class NestedCVResult(NamedTuple):
+    correlations: jax.Array   # (V,) held-out Pearson r per voxel
+    pvalues: jax.Array        # (V,) two-sided p per voxel
+    best_alphas: jax.Array    # (V,) selected (un-normalized) alphas
+    weights: jax.Array        # (D, V) refit ridge weights
+
+
+def pad_voxels(Y, n_devices: int):
+    """Pad the last (voxel) axis to a multiple of n_devices for even
+    sharding. Returns (padded, original_count)."""
+    v = Y.shape[-1]
+    pad = (-v) % n_devices
+    if pad:
+        widths = [(0, 0)] * (Y.ndim - 1) + [(0, pad)]
+        Y = jnp.pad(jnp.asarray(Y), widths)
+    return Y, v
+
+
+@partial(
+    jax.jit,
+    static_argnames=("normalpha", "use_corr", "single_alpha", "singcutoff",
+                     "method"),
+)
+def nested_cv_step(
+    X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+    normalpha: bool = True, use_corr: bool = True,
+    single_alpha: bool = False, singcutoff: float = 1e-10,
+    method: str = "auto",
+) -> NestedCVResult:
+    """Full train/test nested-CV ridge fit in one XLA program.
+
+    Args:
+        X: (T, D) training stimuli.  Y: (T, V) training responses.
+        X_test: (Tp, D).  Y_test: (Tp, V).
+        alphas: (A,) grid.
+        train_idx: (F, Ttr) int per-fold training rows (equal-size folds —
+            chunked folding produces these by construction).
+        val_idx: (F, Tva) int per-fold validation rows.
+
+    Returns:
+        NestedCVResult(correlations, pvalues, best_alphas, weights).
+    """
+    X = jnp.asarray(X, jnp.float32)
+    Y = jnp.asarray(Y, jnp.float32)
+    X_test = jnp.asarray(X_test, jnp.float32)
+    Y_test = jnp.asarray(Y_test, jnp.float32)
+    alphas = jnp.asarray(alphas, jnp.float32)
+
+    # --- inner CV: vmapped over folds, whole alpha grid on device ---------
+    def one_fold(tr, va):
+        svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff, method=method)
+        nal = alphas * svd.S[0] if normalpha else alphas
+        return ridge_corr_from_svd(svd, Y[tr], Y[va], nal, use_corr=use_corr)
+
+    fold_corrs = jax.vmap(one_fold)(train_idx, val_idx)  # (F, A, V)
+    mean_corrs = jnp.mean(fold_corrs, axis=0)            # (A, V)
+
+    if single_alpha:
+        best_idx = jnp.argmax(jnp.mean(mean_corrs, axis=1))
+        best_alphas = jnp.broadcast_to(alphas[best_idx], (Y.shape[1],))
+    else:
+        best_alphas = alphas[jnp.argmax(mean_corrs, axis=0)]  # (V,)
+
+    # --- refit on the full training set, score held-out --------------------
+    svd_full = ridge_svd(X, None, singcutoff=singcutoff, method=method)
+    nal = best_alphas * svd_full.S[0] if normalpha else best_alphas
+    weights = ridge_fit_from_svd(svd_full, Y, nal)  # (D, V)
+    y_pred = jnp.dot(X_test, weights, precision=_HIGHEST)
+    correlations = pearson_r(Y_test, y_pred)
+    pvalues = pearson_pvalues(correlations, Y_test.shape[0])
+    return NestedCVResult(correlations, pvalues, best_alphas, weights)
+
+
+def make_nested_cv_step(mesh=None, **static_kwargs):
+    """Bind static options (and optionally a mesh) into a callable step.
+
+    With a mesh, voxel-axis inputs should be placed with
+    parallel.mesh.shard_voxels; jit propagates the shardings through the
+    program (zero-collective solve).
+    """
+    def step(X, Y, X_test, Y_test, alphas, train_idx, val_idx):
+        return nested_cv_step(
+            X, Y, X_test, Y_test, alphas, train_idx, val_idx, **static_kwargs
+        )
+
+    return step
+
+
+def equal_size_folds(n_samples: int, n_folds: int, chunk_length: int,
+                     seed: int = 0):
+    """Equal-size chunked folds as dense index matrices for the fused step.
+
+    Returns (train_idx (F, Ttr), val_idx (F, Tva)) int32 arrays. Uses the
+    same chunk-shuffle scheme as models.folding.create_chunked_folds but
+    drops the remainder chunks so every fold has identical shape (required
+    for vmap; the reference's last fold absorbs remainders instead —
+    folding.py:103).
+    """
+    import numpy as np
+
+    n_chunks = n_samples // chunk_length
+    usable = (n_chunks // n_folds) * n_folds
+    chunk_ids = np.arange(n_chunks)
+    np.random.default_rng(seed).shuffle(chunk_ids)
+    chunk_ids = chunk_ids[:usable]
+    per_fold = usable // n_folds
+
+    val_idx, train_idx = [], []
+    for f in range(n_folds):
+        va = np.sort(chunk_ids[f * per_fold:(f + 1) * per_fold])
+        tr = np.sort(np.concatenate(
+            [chunk_ids[:f * per_fold], chunk_ids[(f + 1) * per_fold:]]
+        ))
+        val_idx.append(
+            (va[:, None] * chunk_length + np.arange(chunk_length)).ravel()
+        )
+        train_idx.append(
+            (tr[:, None] * chunk_length + np.arange(chunk_length)).ravel()
+        )
+    return (np.stack(train_idx).astype(np.int32),
+            np.stack(val_idx).astype(np.int32))
