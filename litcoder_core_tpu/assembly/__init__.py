@@ -8,6 +8,13 @@ from litcoder_core_tpu.assembly.assembly_loader import (
     load_assembly,
     save_assembly,
 )
+from litcoder_core_tpu.assembly.assembly_generator import AssemblyGenerator
+from litcoder_core_tpu.assembly.base_processor import BaseAssemblyGenerator
+from litcoder_core_tpu.assembly.lebel_processor import LebelAssemblyGenerator
+from litcoder_core_tpu.assembly.lpp_processor import LPPAssemblyGenerator
+from litcoder_core_tpu.assembly.narratives_processor import (
+    NarrativesAssemblyGenerator,
+)
 
 __all__ = [
     "StoryData",
@@ -16,4 +23,9 @@ __all__ = [
     "AssemblyLoaderError",
     "load_assembly",
     "save_assembly",
+    "AssemblyGenerator",
+    "BaseAssemblyGenerator",
+    "LebelAssemblyGenerator",
+    "LPPAssemblyGenerator",
+    "NarrativesAssemblyGenerator",
 ]

@@ -1,0 +1,283 @@
+"""Unified CLI: config-driven end-to-end encoding-model training
+(reference: unified.py:31-555).
+
+The reference carries TWO parallel pipeline implementations (UnifiedTrainer
+monolith + AbstractTrainer); SURVEY.md §1 flags the redundancy. Here the CLI
+is a thin argparse layer that materializes the reference's per-dataset preset
+dicts (DATASET_CONFIGS, unified.py:35-59) and wires the ONE AbstractTrainer.
+
+Usage mirrors the reference:
+    litcoder-tpu --dataset_type lebel --data_dir ... --subject UTS03 \\
+        --tr 2.0 --modality wordrate --model_name wordrate \\
+        --ndelays 4 --lookback 256 --cache_dir cache
+
+Additions: --assembly_path (load a prepackaged assembly pickle instead of
+regenerating — the train_simple.py flow), --logger_backend none, --seed.
+"""
+
+import argparse
+import copy
+import logging
+from datetime import datetime
+from typing import Any, Dict, List
+
+logger = logging.getLogger(__name__)
+
+# Per-dataset presets (reference: unified.py:35-59).
+DATASET_CONFIGS: Dict[str, Dict[str, Any]] = {
+    "lpp": {
+        "use_train_test_split": False,
+        "trimming": {
+            "features_start": 5, "features_end": -5,
+            "targets_start": 5, "targets_end": -5,
+        },
+    },
+    "lebel": {
+        "use_train_test_split": True,
+        "trimming": {
+            "train_features_start": 10, "train_features_end": -5,
+            "train_targets_start": 0, "train_targets_end": None,
+            "test_features_start": 50, "test_features_end": -5,
+            "test_targets_start": 40, "test_targets_end": None,
+        },
+    },
+    "narratives": {
+        "use_train_test_split": False,
+        "trimming": {
+            "features_start": 14, "features_end": -9,
+            "targets_start": 14, "targets_end": -9,
+        },
+    },
+}
+
+TRIMMING_PARAMS = [
+    "features_start", "features_end", "targets_start", "targets_end",
+    "train_features_start", "train_features_end",
+    "train_targets_start", "train_targets_end",
+    "test_features_start", "test_features_end",
+    "test_targets_start", "test_targets_end",
+]
+
+
+def build_feature_config(modality: str, model_name: str,
+                         config: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-modality extractor config tables (reference: unified.py:133-158)."""
+    if modality == "language_model":
+        return {
+            "model_name": model_name,
+            "layer_idx": config["layer_idx"],
+            "last_token": config["last_token"],
+            "lookback": config["lookback"],
+        }
+    if modality == "speech":
+        return {
+            "chunk_size": config.get("chunk_size", 0.1),
+            "context_size": config.get("context_size", 16.0),
+            "layer": config["layer_idx"],
+            "pool": "last",
+            "target_sample_rate": 16000,
+        }
+    if modality == "embeddings":
+        return {
+            "vector_path": config.get("vector_path"),
+            "binary": config.get("binary", True),
+            "lowercase": config.get("lowercase", False),
+            "oov_handling": "copy_prev",
+        }
+    return {}
+
+
+def build_extractors(config: Dict[str, Any]) -> List[Any]:
+    from litcoder_core_tpu.features.factory import FeatureExtractorFactory
+
+    modalities = config["modalities"]
+    model_names = config["model_names"]
+    if len(model_names) == 1 and len(modalities) > 1:
+        model_names = model_names * len(modalities)
+    elif len(model_names) != len(modalities):
+        raise ValueError(
+            f"Number of model_names ({len(model_names)}) must match "
+            f"modalities ({len(modalities)})"
+        )
+    return [
+        FeatureExtractorFactory.create_extractor(
+            modality=m, model_name=n,
+            config=build_feature_config(m, n, config),
+            cache_dir=config["cache_dir"],
+        )
+        for m, n in zip(modalities, model_names)
+    ]
+
+
+def run(config: Dict[str, Any]) -> Dict[str, Any]:
+    """Assemble components from a config dict and train."""
+    from litcoder_core_tpu.assembly.assembly_generator import AssemblyGenerator
+    from litcoder_core_tpu.assembly.assembly_loader import load_assembly
+    from litcoder_core_tpu.downsample.downsampling import Downsampler
+    from litcoder_core_tpu.models.nested_cv import NestedCVModel
+    from litcoder_core_tpu.trainer import AbstractTrainer
+
+    dataset_config = copy.deepcopy(DATASET_CONFIGS[config["dataset_type"]])
+    custom_trimming = {
+        p: config[p] for p in TRIMMING_PARAMS if config.get(p) is not None
+    }
+    if custom_trimming:
+        dataset_config["trimming"].update(custom_trimming)
+        logger.info("Using custom trimming parameters: %s", custom_trimming)
+
+    if config.get("assembly_path"):
+        assembly = load_assembly(config["assembly_path"])
+    else:
+        assembly = AssemblyGenerator.generate_assembly(
+            dataset_type=config["dataset_type"],
+            data_dir=config["data_dir"],
+            subject=config["subject"],
+            tr=config["tr"],
+            lookback=config["lookback"],
+            context_type=config["context_type"],
+            use_volume=config["use_volume"],
+        )
+    logger.info("Assembly loaded with %d stories", len(assembly.stories))
+
+    downsample_config = {
+        "method": config["downsample_method"],
+        "window": config["lanczos_window"],
+        "cutoff_mult": config["lanczos_cutoff_mult"],
+    }
+
+    story_selection = None
+    if config["dataset_type"] == "lpp" and config.get("story_idx"):
+        story_selection = config["story_idx"]  # 1-based single story
+
+    run_name = (
+        f"{config['dataset_type']}-{config.get('subject', 'prepkg')}-"
+        f"{datetime.now().strftime('%Y%m%d-%H%M%S')}"
+    )
+    trainer = AbstractTrainer(
+        assembly=assembly,
+        feature_extractors=build_extractors(config),
+        downsampler=Downsampler(),
+        model=NestedCVModel(model_name="ridge_regression",
+                            seed=config.get("seed", 0)),
+        fir_delays=list(range(1, config["ndelays"] + 1)),
+        trimming_config=dataset_config["trimming"],
+        use_train_test_split=dataset_config["use_train_test_split"],
+        layer_idx=config["layer_idx"],
+        lookback=config["lookback"],
+        dataset_type=config["dataset_type"],
+        logger_backend=config["logger_backend"],
+        wandb_project_name=config.get("wandb_project_name", "lit-encoding"),
+        results_dir=config.get("results_dir", "results"),
+        run_name=run_name,
+        downsample_config=downsample_config,
+        story_selection=story_selection,
+    )
+    metrics = trainer.train(
+        folding_type=config["folding_type"],
+        n_outer_folds=config["n_outer_folds"],
+        n_inner_folds=config["n_inner_folds"],
+        chunk_length=config["chunk_length"],
+        singcutoff=config["singcutoff"],
+        single_alpha=config.get("single_alpha", True),
+        normalpha=True,
+        use_corr=True,
+        normalize_features=config["normalize_features"],
+        normalize_targets=config["normalize_targets"],
+        seed=config.get("seed", 0),
+    )
+    logger.info("=== Final Results ===")
+    logger.info("Median correlation: %.4f", metrics["median_score"])
+    if "n_significant" in metrics:
+        logger.info("Significant voxels: %s", metrics["n_significant"])
+    return metrics
+
+
+def parse_args(argv=None):
+    """CLI surface (reference: unified.py:425-504) + TPU-build additions."""
+    parser = argparse.ArgumentParser(
+        description="Unified trainer for encoding models (TPU-native)"
+    )
+    # Dataset parameters
+    parser.add_argument("--dataset_type", type=str, required=True,
+                        choices=["lpp", "lebel", "narratives"])
+    parser.add_argument("--data_dir", type=str, default=None)
+    parser.add_argument("--assembly_path", type=str, default=None,
+                        help="Load a prepackaged assembly pickle instead of "
+                             "generating from data_dir")
+    parser.add_argument("--subject", type=str, default=None)
+    parser.add_argument("--tr", type=float, default=2.0)
+    parser.add_argument("--context_type", type=str, default="fullcontext",
+                        choices=["fullcontext", "nocontext", "halfcontext"])
+    parser.add_argument("--use_volume", action="store_true")
+    parser.add_argument("--story_idx", type=int,
+                        help="Story index for LPP (1-based)")
+    # Modality / model
+    parser.add_argument("--modality", type=str)
+    parser.add_argument("--modalities", type=str, nargs="+")
+    parser.add_argument("--model_name", type=str)
+    parser.add_argument("--model_names", type=str, nargs="+")
+    parser.add_argument("--layer_idx", type=int, default=9)
+    parser.add_argument("--last_token", action="store_true")
+    # Training
+    parser.add_argument("--n_outer_folds", type=int, default=5)
+    parser.add_argument("--n_inner_folds", type=int, default=5)
+    parser.add_argument("--folding_type", type=str, default="chunked")
+    parser.add_argument("--chunk_length", type=int, default=20)
+    parser.add_argument("--singcutoff", type=float, default=1e-10)
+    parser.add_argument("--no_single_alpha", dest="single_alpha",
+                        action="store_false",
+                        help="Per-voxel alphas instead of one global alpha")
+    parser.add_argument("--seed", type=int, default=0)
+    # Preprocessing
+    parser.add_argument("--downsample_method", type=str, default="lanczos")
+    parser.add_argument("--lanczos_cutoff_mult", type=float, default=1.0)
+    parser.add_argument("--lanczos_window", type=int, default=3)
+    parser.add_argument("--normalize_features", action="store_true")
+    parser.add_argument("--normalize_targets", action="store_true")
+    parser.add_argument("--ndelays", type=int, required=True)
+    parser.add_argument("--lookback", type=int, required=True)
+    # System
+    parser.add_argument("--use_gpu", action="store_true",
+                        help="Accepted for parity; JAX picks the device")
+    parser.add_argument("--cache_dir", type=str, required=True)
+    parser.add_argument("--results_dir", type=str, default="results")
+    # Logging
+    parser.add_argument("--logger_backend", type=str, default="tensorboard",
+                        choices=["wandb", "tensorboard", "none"])
+    parser.add_argument("--wandb_project_name", type=str,
+                        default="lit-encoding")
+    # Modality-specific
+    parser.add_argument("--vector_path", type=str)
+    parser.add_argument("--binary", action="store_true")
+    parser.add_argument("--lowercase", action="store_true")
+    parser.add_argument("--chunk_size", type=float, default=0.1)
+    parser.add_argument("--context_size", type=float, default=16.0)
+    parser.add_argument("--story_order", type=str, nargs="+")
+    # Trimming overrides
+    for p in TRIMMING_PARAMS:
+        parser.add_argument(f"--{p}", type=int, default=None)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+    args = parse_args(argv)
+    config = vars(args)
+    if not config.get("modalities") and not config.get("modality"):
+        raise ValueError("Must specify either --modality or --modalities")
+    if not config.get("model_names") and not config.get("model_name"):
+        raise ValueError("Must specify either --model_name or --model_names")
+    if config.get("modality") and not config.get("modalities"):
+        config["modalities"] = [config["modality"]]
+    if config.get("model_name") and not config.get("model_names"):
+        config["model_names"] = [config["model_name"]]
+    if not config.get("assembly_path") and not config.get("data_dir"):
+        raise ValueError("Must specify either --data_dir or --assembly_path")
+    return run(config)
+
+
+if __name__ == "__main__":
+    main()
