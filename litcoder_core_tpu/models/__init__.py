@@ -9,6 +9,10 @@ from litcoder_core_tpu.models.ridge import (
     svd_masked,
 )
 from litcoder_core_tpu.models.nested_cv import NestedCVModel, fit_nested_cv
+from litcoder_core_tpu.models.banded import BandedRidgeModel, fit_banded_ridge
+from litcoder_core_tpu.models.linear import LinearPredictivityModel
+from litcoder_core_tpu.models.sklearn_model import SklearnPredictivityModel
+from litcoder_core_tpu.models.normalizer import DataNormalizer
 
 __all__ = [
     "BasePredictivityModel",
@@ -19,4 +23,9 @@ __all__ = [
     "svd_masked",
     "NestedCVModel",
     "fit_nested_cv",
+    "BandedRidgeModel",
+    "fit_banded_ridge",
+    "LinearPredictivityModel",
+    "SklearnPredictivityModel",
+    "DataNormalizer",
 ]

@@ -1,0 +1,188 @@
+"""Banded (grouped) ridge regression — joint multi-feature-space fitting.
+
+Not present in the reference (it concatenates feature spaces with ONE shared
+regularizer, trainer.py:146-150); named in the driver's north star
+(BASELINE.json: "banded-ridge multi-feature-space fitting sharded over the
+voxel axis"). Formulation follows the standard group-ridge identity (la Tour
+et al. 2022, himalaya): per-band regularization alpha_b is equivalent to
+scaling band b's features by sqrt(gamma_b) and fitting ordinary ridge, with
+gamma_b the band's prior variance share.
+
+Search strategy (TPU-friendly): N candidate gamma vectors sampled from a
+Dirichlet over bands (plus the uniform candidate); for each candidate the
+ordinary alpha grid is scanned with the shared spectral machinery
+(one factorization per fold per candidate, whole grid on device); per voxel
+the best (gamma, alpha) pair wins; refits are grouped by winning candidate.
+Everything voxel-axis shardable like the plain solver.
+"""
+
+import logging
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from litcoder_core_tpu.models.folding import create_folds
+from litcoder_core_tpu.models.ridge import (
+    ridge_corr_from_svd,
+    ridge_fit_from_svd,
+    ridge_svd,
+    predict,
+)
+from litcoder_core_tpu.ops.stats import bh_fdrcorrection, pearson_r_pvalues
+
+logger = logging.getLogger(__name__)
+
+
+def sample_gammas(n_bands: int, n_gammas: int, seed: int = 0,
+                  concentration: float = 1.0) -> np.ndarray:
+    """(n_gammas, n_bands) candidate band-variance shares; row 0 is uniform."""
+    rng = np.random.default_rng(seed)
+    gammas = rng.dirichlet([concentration] * n_bands, size=max(n_gammas - 1, 0))
+    uniform = np.full((1, n_bands), 1.0 / n_bands)
+    out = np.vstack([uniform, gammas]) if n_gammas > 1 else uniform
+    return out.astype(np.float32)
+
+
+def _scale_bands(Xs: Sequence[np.ndarray], gamma: np.ndarray) -> jnp.ndarray:
+    """Concatenate bands scaled by sqrt(gamma_b)."""
+    parts = [
+        jnp.asarray(X, jnp.float32) * jnp.sqrt(jnp.float32(g))
+        for X, g in zip(Xs, gamma)
+    ]
+    return jnp.concatenate(parts, axis=1)
+
+
+def fit_banded_ridge(
+    Xs: Sequence[np.ndarray],
+    Y: np.ndarray,
+    X_tests: Optional[Sequence[np.ndarray]] = None,
+    y_test: Optional[np.ndarray] = None,
+    alphas: Optional[Sequence[float]] = None,
+    n_gammas: int = 10,
+    folding_type: str = "chunked",
+    n_inner_folds: int = 5,
+    chunk_length: int = 20,
+    alpha_fdr: float = 0.05,
+    normalpha: bool = True,
+    use_corr: bool = True,
+    singcutoff: float = 1e-10,
+    seed: int = 0,
+    method: str = "auto",
+) -> Tuple[Dict, np.ndarray, np.ndarray, np.ndarray]:
+    """Banded ridge with per-voxel (gamma, alpha) selection by inner CV.
+
+    Args:
+        Xs: list of (T, D_b) training feature spaces.
+        Y: (T, V) training responses.
+        X_tests: list of (Tp, D_b) test feature spaces (required with y_test).
+        y_test: (Tp, V) test responses.
+
+    Returns:
+        (metrics, weights (sum D_b, V), best_alphas (V,), best_gammas (V, B)).
+        Metrics keys mirror the train/test nested-CV dict plus 'best_gammas'.
+    """
+    if alphas is None:
+        alphas = np.logspace(-1, 8, 10)
+    alphas = np.asarray(alphas, np.float32)
+    n_bands = len(Xs)
+    T = Xs[0].shape[0]
+    V = Y.shape[1]
+    Y_j = jnp.asarray(Y, jnp.float32)
+
+    gammas = sample_gammas(n_bands, n_gammas, seed=seed)
+    inner_splits = create_folds(
+        T, folding_type, n_inner_folds, chunk_length, seed=seed
+    )
+
+    # --- score every (gamma, alpha) on inner CV ---------------------------
+    # scores[g] has shape (A, V): mean fold correlation.
+    all_scores = []
+    for g_idx in range(gammas.shape[0]):
+        Xg = _scale_bands(Xs, gammas[g_idx])
+        corr_sum = jnp.zeros((len(alphas), V), jnp.float32)
+        for train_idx, val_idx in inner_splits:
+            tr, va = jnp.asarray(train_idx), jnp.asarray(val_idx)
+            svd = ridge_svd(Xg[tr], Xg[va], singcutoff=singcutoff,
+                            method=method)
+            nal = (jnp.asarray(alphas) * svd.S[0] if normalpha
+                   else jnp.asarray(alphas))
+            corr_sum = corr_sum + ridge_corr_from_svd(
+                svd, Y_j[tr], Y_j[va], nal, use_corr=use_corr
+            )
+        all_scores.append(corr_sum / len(inner_splits))
+    scores = jnp.stack(all_scores)  # (G, A, V)
+
+    # Joint argmax over (gamma, alpha) per voxel.
+    flat = scores.reshape(-1, V)  # (G*A, V)
+    best_flat = np.asarray(jnp.argmax(flat, axis=0))
+    best_g = best_flat // len(alphas)  # (V,)
+    best_a = best_flat % len(alphas)
+    best_alphas = alphas[best_a]
+    best_gammas = gammas[best_g]  # (V, B)
+
+    # --- refit grouped by winning gamma candidate --------------------------
+    D_total = sum(X.shape[1] for X in Xs)
+    weights = np.zeros((D_total, V), np.float32)
+    for g_idx in np.unique(best_g):
+        sel = np.nonzero(best_g == g_idx)[0]
+        Xg = _scale_bands(Xs, gammas[g_idx])
+        svd = ridge_svd(Xg, None, singcutoff=singcutoff, method=method)
+        val = jnp.asarray(best_alphas[sel], jnp.float32)
+        nal = val * svd.S[0] if normalpha else val
+        wt = np.asarray(ridge_fit_from_svd(svd, Y_j[:, jnp.asarray(sel)], nal))
+        # Undo the band scaling so weights apply to RAW features:
+        # y = (X*sqrt(g)) w  =>  w_raw = sqrt(g) * w.
+        scale = np.concatenate([
+            np.full(X.shape[1], np.sqrt(gammas[g_idx][b]), np.float32)
+            for b, X in enumerate(Xs)
+        ])
+        weights[:, sel] = wt * scale[:, None]
+
+    metrics: Dict = {"best_gammas": best_gammas.tolist()}
+    if X_tests is not None and y_test is not None:
+        X_test = np.concatenate(
+            [np.asarray(X, np.float32) for X in X_tests], axis=1
+        )
+        y_pred = np.asarray(predict(X_test, weights))
+        corr, pval = pearson_r_pvalues(jnp.asarray(y_test, jnp.float32),
+                                       jnp.asarray(y_pred))
+        corr, pval = np.asarray(corr), np.asarray(pval)
+        significant, corrected = map(
+            np.asarray, bh_fdrcorrection(jnp.asarray(pval), alpha=alpha_fdr)
+        )
+        n_sig = int(significant.sum())
+        metrics.update({
+            "median_score": float(np.median(corr)),
+            "mean_score": float(np.mean(corr)),
+            "std_score": float(np.std(corr)),
+            "min_score": float(np.min(corr)),
+            "max_score": float(np.max(corr)),
+            "correlations": corr.tolist(),
+            "p_values": pval.tolist(),
+            "corrected_p_values": corrected.tolist(),
+            "significant_mask": significant.tolist(),
+            "n_significant": n_sig,
+            "percent_significant": float(n_sig / V * 100),
+            "best_alphas": best_alphas.tolist(),
+        })
+        logger.info("Banded ridge: median r = %.3f, %d/%d significant",
+                    metrics["median_score"], n_sig, V)
+    return metrics, weights, best_alphas, best_gammas
+
+
+class BandedRidgeModel:
+    """Object API over fit_banded_ridge, mirroring NestedCVModel style."""
+
+    def __init__(self, model_name: str = "banded_ridge", seed: int = 0,
+                 n_gammas: int = 10):
+        self.model_name = model_name
+        self.seed = seed
+        self.n_gammas = n_gammas
+
+    def fit_predict(self, feature_spaces, targets, X_tests=None, y_test=None,
+                    **kwargs):
+        kwargs.setdefault("seed", self.seed)
+        kwargs.setdefault("n_gammas", self.n_gammas)
+        return fit_banded_ridge(feature_spaces, targets, X_tests=X_tests,
+                                y_test=y_test, **kwargs)

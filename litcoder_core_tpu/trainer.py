@@ -239,24 +239,37 @@ class AbstractTrainer:
     # ------------------------------------------------------------ stages 4-5
 
     def train(self, **model_kwargs) -> Dict[str, Any]:
-        """Run the complete pipeline (reference: trainer.py:284-320)."""
-        features = self.extract_and_downsample_features()
-        delayed = self.apply_fir_delays(features)
-        data = self.structure_data(delayed)
+        """Run the complete pipeline (reference: trainer.py:284-320),
+        with per-stage wall-clock accounting (StageTimer)."""
+        from litcoder_core_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+        with timer.stage("extract_and_downsample"):
+            features = self.extract_and_downsample_features()
+        with timer.stage("fir_delays"):
+            delayed = self.apply_fir_delays(features)
+        with timer.stage("structure_data"):
+            data = self.structure_data(delayed)
 
         logger.info("Starting model training...")
-        if "Rstim" in data:
-            metrics, weights, best_alphas = self.model.fit_predict(
-                features=data["Rstim"], targets=data["Rresp"],
-                X_test=data["Pstim"], y_test=data["Presp"], **model_kwargs,
-            )
-        else:
-            metrics, weights, best_alphas = self.model.fit_predict(
-                features=data["X"], targets=data["Y"], **model_kwargs,
-            )
+        with timer.stage("fit_predict"):
+            if "Rstim" in data:
+                metrics, weights, best_alphas = self.model.fit_predict(
+                    features=data["Rstim"], targets=data["Rresp"],
+                    X_test=data["Pstim"], y_test=data["Presp"],
+                    **model_kwargs,
+                )
+            else:
+                metrics, weights, best_alphas = self.model.fit_predict(
+                    features=data["X"], targets=data["Y"], **model_kwargs,
+                )
 
-        self.log_metrics(metrics)
-        self.save_model(weights, best_alphas, metrics, model_kwargs)
+        with timer.stage("log_and_save"):
+            self.log_metrics(metrics)
+            self.save_model(weights, best_alphas, metrics, model_kwargs)
+        stage_seconds = timer.report()
+        for name, dt in stage_seconds.items():
+            self.experiment_logger.log_scalar(f"stage_seconds/{name}", dt)
         logger.info("Training complete. Median correlation: %.4f",
                     metrics["median_score"])
         return metrics

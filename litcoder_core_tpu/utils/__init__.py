@@ -11,6 +11,7 @@ from litcoder_core_tpu.utils.caches import (
     SpeechLazyLayerCache,
 )
 from litcoder_core_tpu.utils.saver import ModelSaver
+from litcoder_core_tpu.utils.profiling import StageTimer, annotate, trace
 
 __all__ = [
     "demean", "dm", "zscore", "zs", "rescale", "rs", "mcorr", "xcorr",
@@ -18,4 +19,5 @@ __all__ = [
     "ActivationCache", "LazyLayerCache",
     "SpeechActivationCache", "SpeechLazyLayerCache",
     "ModelSaver",
+    "StageTimer", "annotate", "trace",
 ]

@@ -1,0 +1,139 @@
+"""Linear / sklearn-wrapper / banded-ridge model tests."""
+
+import numpy as np
+import pytest
+
+from litcoder_core_tpu.models.banded import (
+    BandedRidgeModel,
+    fit_banded_ridge,
+    sample_gammas,
+)
+from litcoder_core_tpu.models.linear import LinearPredictivityModel
+from litcoder_core_tpu.models.sklearn_model import SklearnPredictivityModel
+
+rng = np.random.default_rng(12)
+
+
+def _linear_data(T=200, D=6, V=8, noise=0.3):
+    X = rng.normal(size=(T, D)).astype(np.float32)
+    wt = rng.normal(size=(D, V)).astype(np.float32)
+    Y = (X @ wt + noise * rng.normal(size=(T, V))).astype(np.float32)
+    return X, Y
+
+
+# ---- LinearPredictivityModel ---------------------------------------------------
+
+def test_linear_model_fit_and_predict(tmp_path):
+    X, Y = _linear_data()
+    groups = np.repeat(np.arange(4), 50)
+    model = LinearPredictivityModel({"n_folds": 4})
+    metrics = model.fit(X, Y, groups=groups)
+    assert metrics["median_score"] > 0.8
+    preds = model.predict(X[:10])
+    assert preds.shape == (10, 8)
+
+    model.save(tmp_path / "lin")
+    fresh = LinearPredictivityModel({"n_folds": 4})
+    fresh.load(tmp_path / "lin")
+    assert np.allclose(fresh.predict(X[:10]), preds, atol=1e-4)
+
+
+def test_linear_model_unfitted_raises():
+    model = LinearPredictivityModel({})
+    with pytest.raises(ValueError, match="not been fitted"):
+        model.predict(np.zeros((3, 2)))
+
+
+# ---- SklearnPredictivityModel ---------------------------------------------------
+
+def test_sklearn_model_ridge_with_grid(tmp_path):
+    X, Y = _linear_data()
+    model = SklearnPredictivityModel({
+        "model_type": "ridge",
+        "n_folds": 3,
+        "use_groups": False,
+        "param_grid": {"alpha": [0.1, 1.0, 10.0]},
+        "inner_cv": 3,
+    })
+    metrics = model.fit(X, Y)
+    assert metrics["median_score"] > 0.8
+    assert "alpha" in metrics
+    assert metrics["alpha"] in (0.1, 1.0, 10.0)
+
+    model.save(tmp_path / "sk")
+    fresh = SklearnPredictivityModel({"model_type": "ridge"})
+    fresh.load(tmp_path / "sk")
+    assert fresh.predict(X[:5]).shape == (5, 8)
+
+
+def test_sklearn_model_unknown_type():
+    with pytest.raises(ValueError, match="Unsupported model type"):
+        SklearnPredictivityModel({"model_type": "forest"})
+
+
+# ---- banded ridge ---------------------------------------------------------------
+
+def test_sample_gammas():
+    g = sample_gammas(3, 7, seed=0)
+    assert g.shape == (7, 3)
+    assert np.allclose(g.sum(axis=1), 1.0, atol=1e-5)
+    assert np.allclose(g[0], 1 / 3)  # uniform first
+
+
+def test_banded_ridge_prefers_informative_band():
+    """Band 0 drives the signal; band 1 is pure high-variance noise. Banded
+    ridge should assign most prior variance to band 0 for signal voxels and
+    beat the uniform-concatenation fit."""
+    T, Tp, D1, D2, V = 400, 120, 8, 8, 16
+    X1 = rng.normal(size=(T, D1)).astype(np.float32)
+    X2 = (5.0 * rng.normal(size=(T, D2))).astype(np.float32)  # loud noise
+    wt = rng.normal(size=(D1, V)).astype(np.float32)
+    Y = (X1 @ wt + 0.5 * rng.normal(size=(T, V))).astype(np.float32)
+    X1t = rng.normal(size=(Tp, D1)).astype(np.float32)
+    X2t = (5.0 * rng.normal(size=(Tp, D2))).astype(np.float32)
+    Yt = (X1t @ wt + 0.5 * rng.normal(size=(Tp, V))).astype(np.float32)
+
+    metrics, weights, best_alphas, best_gammas = fit_banded_ridge(
+        [X1, X2], Y, X_tests=[X1t, X2t], y_test=Yt,
+        n_gammas=8, n_inner_folds=3, chunk_length=20, seed=0,
+    )
+    assert weights.shape == (D1 + D2, V)
+    assert best_gammas.shape == (V, 2)
+    assert metrics["median_score"] > 0.8
+    # Informative band gets the dominant share for most voxels.
+    assert np.median(best_gammas[:, 0]) > 0.5
+
+
+def test_banded_ridge_model_class():
+    T, V = 200, 6
+    X1 = rng.normal(size=(T, 5)).astype(np.float32)
+    X2 = rng.normal(size=(T, 4)).astype(np.float32)
+    Y = (X1 @ rng.normal(size=(5, V)).astype(np.float32)
+         + rng.normal(size=(T, V))).astype(np.float32)
+    model = BandedRidgeModel(seed=0, n_gammas=4)
+    metrics, weights, alphas, gammas = model.fit_predict(
+        [X1, X2], Y, X_tests=[X1[:50], X2[:50]], y_test=Y[:50],
+        n_inner_folds=3, chunk_length=10,
+    )
+    assert np.isfinite(metrics["median_score"])
+    assert weights.shape == (9, V)
+
+
+def test_banded_single_band_reduces_to_ridge():
+    """With one band, banded ridge must match the plain solver's scores."""
+    from litcoder_core_tpu.models.nested_cv import fit_nested_cv
+
+    X, Y = _linear_data(T=300, V=10)
+    Xt, Yt = X[:60], Y[:60]
+    m_banded, w_b, a_b, g_b = fit_banded_ridge(
+        [X], Y, X_tests=[Xt], y_test=Yt, n_gammas=1,
+        n_inner_folds=3, chunk_length=20, seed=0,
+    )
+    m_plain, w_p, a_p = fit_nested_cv(
+        X * np.float32(1.0), Y, X_test=Xt, y_test=Yt,
+        n_inner_folds=3, chunk_length=20, seed=0,
+    )
+    # Same folds, same grid; the single gamma=1.0 candidate scales X by 1.
+    assert np.allclose(
+        m_banded["median_score"], m_plain["median_score"], atol=5e-3
+    )
