@@ -50,6 +50,28 @@ def _voxel_chunks(n_voxels: int, chunk: Optional[int]):
     return [(lo, min(lo + chunk, n_voxels)) for lo in range(0, n_voxels, chunk)]
 
 
+from functools import partial
+
+import jax
+
+
+@partial(
+    jax.jit,
+    static_argnames=("normalpha", "use_corr", "singcutoff", "method"),
+)
+def _vmapped_fold_scores(X, Y, train_idx, val_idx, alphas,
+                         normalpha: bool, use_corr: bool,
+                         singcutoff: float, method: str):
+    """(F, A, V) inner-fold scores with folds vmapped (equal fold shapes)."""
+
+    def one_fold(tr, va):
+        svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff, method=method)
+        nal = alphas * svd.S[0] if normalpha else alphas
+        return ridge_corr_from_svd(svd, Y[tr], Y[va], nal, use_corr=use_corr)
+
+    return jax.vmap(one_fold)(train_idx, val_idx)
+
+
 def _find_best_alphas(
     X: jnp.ndarray,
     Y: jnp.ndarray,
@@ -65,27 +87,41 @@ def _find_best_alphas(
     """Inner-CV alpha search: mean fold score per (alpha, voxel), then argmax.
 
     Mirrors nested_cv.py:_find_best_alphas:334-415 — ties break to the first
-    (smallest-index) alpha like torch.argmax.
+    (smallest-index) alpha like torch.argmax. When every fold has the same
+    shape (chunked folding with n_chunks divisible by n_folds), the folds are
+    vmapped into ONE jitted program — identical numerics, one dispatch.
     """
     n_alphas, n_voxels = len(alphas), Y.shape[1]
     alphas_j = jnp.asarray(alphas, jnp.float32)
-    corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
 
-    for train_idx, val_idx in fold_splits:
-        tr = jnp.asarray(train_idx)
-        va = jnp.asarray(val_idx)
-        svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff, method=method)
-        nalphas = alphas_j * svd.S[0] if normalpha else alphas_j
+    shapes = {(len(tr), len(va)) for tr, va in fold_splits}
+    if len(shapes) == 1:
+        tr_idx = jnp.asarray(np.stack([tr for tr, _ in fold_splits]))
+        va_idx = jnp.asarray(np.stack([va for _, va in fold_splits]))
         chunks = []
         for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
-            Yc = Y[:, lo:hi]
-            chunks.append(
-                ridge_corr_from_svd(svd, Yc[tr], Yc[va], nalphas,
-                                    use_corr=use_corr)
-            )
-        corr_sum = corr_sum + jnp.concatenate(chunks, axis=1)
-
-    mean_corrs = corr_sum / len(fold_splits)  # (A, V)
+            chunks.append(_vmapped_fold_scores(
+                X, Y[:, lo:hi], tr_idx, va_idx, alphas_j, normalpha,
+                use_corr, singcutoff, method,
+            ).mean(axis=0))
+        mean_corrs = jnp.concatenate(chunks, axis=1)  # (A, V)
+    else:
+        corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
+        for train_idx, val_idx in fold_splits:
+            tr = jnp.asarray(train_idx)
+            va = jnp.asarray(val_idx)
+            svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff,
+                            method=method)
+            nalphas = alphas_j * svd.S[0] if normalpha else alphas_j
+            chunks = []
+            for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
+                Yc = Y[:, lo:hi]
+                chunks.append(
+                    ridge_corr_from_svd(svd, Yc[tr], Yc[va], nalphas,
+                                        use_corr=use_corr)
+                )
+            corr_sum = corr_sum + jnp.concatenate(chunks, axis=1)
+        mean_corrs = corr_sum / len(fold_splits)  # (A, V)
 
     if single_alpha:
         best_idx = int(jnp.argmax(jnp.mean(mean_corrs, axis=1)))
