@@ -187,13 +187,17 @@ def fit_nested_cv(
     seed: int = 0,
     voxel_chunk_size: Optional[int] = None,
     method: str = "auto",
+    inner_splits: Optional[List] = None,
+    outer_splits: Optional[List] = None,
 ) -> Tuple[Metrics, np.ndarray, np.ndarray]:
     """Nested-CV ridge fit. Signature and return contract match
     NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with two
     additions: `seed` (reproducible folds), `voxel_chunk_size` (HBM
     streaming; None = all voxels at once), and `method`
     ('auto'|'eigh'|'svd' spectral path — eigh of the Gram matrix is the fast
-    MXU formulation for tall designs; see models/ridge.py).
+    MXU formulation for tall designs; see models/ridge.py), and
+    `inner_splits`/`outer_splits` (inject custom CV folds; for full-CV mode
+    inner_splits may be a list of per-outer-fold lists).
 
     Returns:
         (metrics, weights (n_features, n_voxels), best_alphas (n_voxels,))
@@ -220,10 +224,11 @@ def fit_nested_cv(
             )
             X_test_j, y_test_j = normalizer.transform(X_test_j, y_test_j)
 
-        inner_splits = create_folds(
-            len(features), folding_type, n_inner_folds, chunk_length, None,
-            groups, seed=seed,
-        )
+        if inner_splits is None:
+            inner_splits = create_folds(
+                len(features), folding_type, n_inner_folds, chunk_length,
+                None, groups, seed=seed,
+            )
         best_valphas = _find_best_alphas(
             features_j, targets_j, inner_splits, alphas, single_alpha,
             normalpha, use_corr, singcutoff, voxel_chunk_size, method,
@@ -245,10 +250,11 @@ def fit_nested_cv(
 
     # ---------------- full nested CV mode ----------------
     logger.info("Running in full nested CV mode")
-    outer_splits = create_folds(
-        len(features), folding_type, n_outer_folds, chunk_length, None,
-        groups, seed=seed,
-    )
+    if outer_splits is None:
+        outer_splits = create_folds(
+            len(features), folding_type, n_outer_folds, chunk_length, None,
+            groups, seed=seed,
+        )
 
     fold_scores, fold_pvalues, fold_valphas = [], [], []
     fold_significant_masks, fold_weights = [], []
@@ -265,21 +271,25 @@ def fit_nested_cv(
             X_train, y_train = normalizer.fit_transform(X_train, y_train)
             X_te, y_te = normalizer.transform(X_te, y_te)
 
-        if groups is not None and folding_type == "group":
+        if inner_splits is not None:
+            fold_inner_splits = (inner_splits[fold_idx]
+                                 if isinstance(inner_splits[0], list)
+                                 else inner_splits)
+        elif groups is not None and folding_type == "group":
             inner_groups = np.asarray(groups)[train_idx]
-            inner_splits = create_folds(
+            fold_inner_splits = create_folds(
                 len(train_idx), "group", n_inner_folds, groups=inner_groups,
                 seed=seed + fold_idx + 1,
             )
         else:
-            inner_splits = create_folds(
+            fold_inner_splits = create_folds(
                 len(train_idx), folding_type, n_inner_folds, chunk_length,
                 seed=seed + fold_idx + 1,
             )
 
         best_valphas = _find_best_alphas(
-            X_train, y_train, inner_splits, alphas, single_alpha, normalpha,
-            use_corr, singcutoff, voxel_chunk_size, method,
+            X_train, y_train, fold_inner_splits, alphas, single_alpha,
+            normalpha, use_corr, singcutoff, voxel_chunk_size, method,
         )
         fold_valphas.append(best_valphas)
 
