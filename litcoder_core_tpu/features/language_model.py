@@ -127,7 +127,13 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
     # ---------------------------------------------------------------- forward
 
     def _flax_forward_fn(self):
-        """Jitted (ids, mask) -> (n_layers+1, B, D) pooled hidden states."""
+        """Jitted (params, ids, mask) -> (n_layers+1, B, D) pooled states.
+
+        Params are an explicit argument (NOT a closure capture) so the model
+        weights are traced inputs rather than constants baked into the
+        executable — closure capture would const-fold 100M+ weights into
+        every compiled length bucket.
+        """
         if self._forward_fn is not None:
             return self._forward_fn
 
@@ -137,11 +143,12 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         model = self._model
         last_token = self.last_token
 
-        @partial(jax.jit, static_argnums=())
-        def forward(input_ids, attention_mask):
+        @jax.jit
+        def forward(params, input_ids, attention_mask):
             out = model(
                 input_ids=input_ids,
                 attention_mask=attention_mask,
+                params=params,
                 output_hidden_states=True,
                 train=False,
             )
@@ -207,7 +214,8 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 mask[row, :len(toks)] = 1
             if self.backend == "flax":
                 pooled = np.asarray(
-                    self._flax_forward_fn()(ids, mask), np.float32
+                    self._flax_forward_fn()(self._model.params, ids, mask),
+                    np.float32,
                 )
             else:
                 pooled = self._torch_forward(ids, mask)

@@ -189,6 +189,8 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         return np.asarray(inputs[self._forward_key])
 
     def _flax_forward_fn(self):
+        """Jitted (params, batch) -> pooled states; params passed explicitly
+        so encoder weights are traced inputs, not baked-in constants."""
         if self._forward_fn is not None:
             return self._forward_fn
 
@@ -201,15 +203,15 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         key = self._forward_key
 
         @jax.jit
-        def forward(batch):
+        def forward(params, batch):
             if is_whisper:
                 out = model.encode(
-                    input_features=batch, output_hidden_states=True,
-                    train=False,
+                    input_features=batch, params=params,
+                    output_hidden_states=True, train=False,
                 )
             else:
-                out = model(**{key: batch}, output_hidden_states=True,
-                            train=False)
+                out = model(**{key: batch}, params=params,
+                            output_hidden_states=True, train=False)
             hs = jnp.stack(out.hidden_states)  # (L+1, B, T, D)
             if pool == "last":
                 return hs[:, :, -1, :]
@@ -242,7 +244,10 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         for lo in range(0, windows.shape[0], self.batch_size):
             batch = self._prepare_batch(windows[lo:lo + self.batch_size])
             if self.backend == "flax":
-                pooled = np.asarray(self._flax_forward_fn()(batch), np.float32)
+                pooled = np.asarray(
+                    self._flax_forward_fn()(self._model.params, batch),
+                    np.float32,
+                )
             else:
                 pooled = self._torch_forward(batch)
             pooled_parts.append(pooled)
