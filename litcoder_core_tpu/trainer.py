@@ -51,8 +51,13 @@ class AbstractTrainer:
         run_name: Optional[str] = None,
         downsample_config: Optional[Dict] = None,
         story_selection: Optional[List[str]] = None,
+        concat_features: bool = True,
     ):
+        """concat_features=True hstacks multi-extractor features like the
+        reference (trainer.py:146-150); False keeps them as separate feature
+        SPACES for banded-ridge models (models.banded.BandedRidgeModel)."""
         self.assembly = assembly
+        self.concat_features = concat_features
         self.feature_extractors = feature_extractors
         self.downsampler = downsampler
         self.model = model
@@ -119,15 +124,20 @@ class AbstractTrainer:
                 else:
                     downsampled = features
                 story_features.append(downsampled)
-            if len(story_features) > 1:
-                # Align timepoints across extractors, then hstack.
-                min_len = min(f.shape[0] for f in story_features)
-                story_features = [f[:min_len] for f in story_features]
-                combined = np.concatenate(story_features, axis=1)
+            # Align timepoints across extractors.
+            min_len = min(f.shape[0] for f in story_features)
+            story_features = [f[:min_len] for f in story_features]
+            if self.concat_features:
+                combined = (np.concatenate(story_features, axis=1)
+                            if len(story_features) > 1 else story_features[0])
+                all_features[story] = combined
+                logger.info("Story %s: feature shape %s", story,
+                            combined.shape)
             else:
-                combined = story_features[0]
-            all_features[story] = combined
-            logger.info("Story %s: feature shape %s", story, combined.shape)
+                all_features[story] = story_features  # list of spaces
+                logger.info("Story %s: %d feature spaces %s", story,
+                            len(story_features),
+                            [f.shape for f in story_features])
         return all_features
 
     def _extract_single_features(self, extractor, story: str, idx: int):
@@ -167,9 +177,14 @@ class AbstractTrainer:
     ) -> Dict[str, np.ndarray]:
         delayed = {}
         for story, feat in features.items():
-            delayed[story] = FIR.make_delayed(feat, self.fir_delays)
-            logger.info("Story %s: delayed shape %s", story,
-                        delayed[story].shape)
+            if isinstance(feat, list):  # per-space (banded) mode
+                delayed[story] = [
+                    FIR.make_delayed(f, self.fir_delays) for f in feat
+                ]
+            else:
+                delayed[story] = FIR.make_delayed(feat, self.fir_delays)
+                logger.info("Story %s: delayed shape %s", story,
+                            delayed[story].shape)
         return delayed
 
     # ------------------------------------------------------------ stage 3
@@ -190,10 +205,38 @@ class AbstractTrainer:
     def _create_train_test_split(self, features: Dict,
                                  brain_data: Dict) -> Dict[str, np.ndarray]:
         """LeBel style: last story held out; per-story z-score + trim + vstack
-        (reference: trainer.py:223-262)."""
+        (reference: trainer.py:223-262). In banded (per-space) mode the same
+        structuring is applied to each feature space independently."""
         stories = list(features.keys())
         train_stories, test_stories = stories[:-1], stories[-1:]
         cfg = self.trimming_config
+
+        if isinstance(features[stories[0]], list):
+            n_spaces = len(features[stories[0]])
+
+            def stack(space_idx, story_list, lo_key, hi_key):
+                return np.nan_to_num(np.vstack([
+                    zs(features[s][space_idx][cfg.get(lo_key, 0):
+                                              cfg.get(hi_key, None)])
+                    for s in story_list
+                ]))
+
+            Rstim = [stack(b, train_stories, "train_features_start",
+                           "train_features_end") for b in range(n_spaces)]
+            Pstim = [stack(b, test_stories, "test_features_start",
+                           "test_features_end") for b in range(n_spaces)]
+            Rresp = np.vstack([
+                zs(brain_data[s][cfg.get("train_targets_start", 0):
+                                 cfg.get("train_targets_end", None)])
+                for s in train_stories
+            ])
+            Presp = np.vstack([
+                zs(brain_data[s][cfg.get("test_targets_start", 0):
+                                 cfg.get("test_targets_end", None)])
+                for s in test_stories
+            ])
+            return {"Rstim": Rstim, "Rresp": Rresp,
+                    "Pstim": Pstim, "Presp": Presp}
 
         X_train = np.nan_to_num(np.vstack([
             zs(features[s][cfg.get("train_features_start", 0):
@@ -225,6 +268,11 @@ class AbstractTrainer:
         """LPP/Narratives style: concat in story order + global trim
         (reference: trainer.py:264-282)."""
         cfg = self.trimming_config
+        if not self.concat_features:
+            raise ValueError(
+                "Banded (concat_features=False) training requires "
+                "use_train_test_split=True"
+            )
         X = np.concatenate(
             [features[s] for s in self.stories_to_process], axis=0
         )
@@ -252,14 +300,29 @@ class AbstractTrainer:
             data = self.structure_data(delayed)
 
         logger.info("Starting model training...")
+        banded = "Rstim" in data and isinstance(data["Rstim"], list)
         with timer.stage("fit_predict"):
-            if "Rstim" in data:
+            if banded:
+                # Banded model API: feature SPACES, train/test mode only.
+                metrics, weights, best_alphas, _gammas = (
+                    self.model.fit_predict(
+                        data["Rstim"], data["Rresp"],
+                        X_tests=data["Pstim"], y_test=data["Presp"],
+                        **model_kwargs,
+                    )
+                )
+            elif "Rstim" in data:
                 metrics, weights, best_alphas = self.model.fit_predict(
                     features=data["Rstim"], targets=data["Rresp"],
                     X_test=data["Pstim"], y_test=data["Presp"],
                     **model_kwargs,
                 )
             else:
+                if not self.concat_features:
+                    raise ValueError(
+                        "Banded (concat_features=False) training requires "
+                        "use_train_test_split=True"
+                    )
                 metrics, weights, best_alphas = self.model.fit_predict(
                     features=data["X"], targets=data["Y"], **model_kwargs,
                 )

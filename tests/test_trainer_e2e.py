@@ -260,3 +260,69 @@ def test_trainer_multi_extractor_concat(assembly, tmp_path):
     story0 = assembly.stories[0]
     # 1 wordrate col + 6 embedding cols
     assert feats[story0].shape[1] == 7
+
+
+def test_trainer_banded_mode(assembly, tmp_path):
+    """Banded ridge through the trainer: wordrate + embeddings as separate
+    feature spaces (concat_features=False)."""
+    from litcoder_core_tpu.features.embeddings import SimpleKeyedVectors
+    from litcoder_core_tpu.models.banded import BandedRidgeModel
+
+    n_words_total = max(len(sd.words) for sd in assembly.story_data.values())
+    vocab = [f"w{i}" for i in range(n_words_total)]
+    kv = SimpleKeyedVectors(vocab, rng.normal(size=(len(vocab), 5)))
+    kv_path = str(tmp_path / "v.kv")
+    kv.save_kv(kv_path)
+
+    wordrate = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}
+    )
+    emb = FeatureExtractorFactory.create_extractor(
+        "embeddings", "vecs", {"vector_path": kv_path, "lowercase": False},
+    )
+    trainer = AbstractTrainer(
+        assembly=assembly,
+        feature_extractors=[wordrate, emb],
+        downsampler=Downsampler(),
+        model=BandedRidgeModel(seed=0, n_gammas=4),
+        fir_delays=[1, 2],
+        trimming_config={
+            "train_features_start": 5, "train_features_end": -5,
+            "train_targets_start": 5, "train_targets_end": -5,
+            "test_features_start": 5, "test_features_end": -5,
+            "test_targets_start": 5, "test_targets_end": -5,
+        },
+        use_train_test_split=True,
+        dataset_type="lebel",
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+        downsample_config={"method": "average"},
+        concat_features=False,
+    )
+    metrics = trainer.train(chunk_length=10, n_inner_folds=3)
+    # Wordrate band carries the signal; the fit should recover it.
+    assert metrics["median_score"] > 0.2
+    assert "best_gammas" in metrics
+
+
+def test_trainer_banded_requires_train_test_split(assembly, tmp_path):
+    from litcoder_core_tpu.models.banded import BandedRidgeModel
+
+    wordrate = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}
+    )
+    trainer = AbstractTrainer(
+        assembly=assembly,
+        feature_extractors=[wordrate],
+        downsampler=Downsampler(),
+        model=BandedRidgeModel(seed=0),
+        fir_delays=[1, 2],
+        trimming_config={},
+        use_train_test_split=False,
+        dataset_type="narratives",
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+        concat_features=False,
+    )
+    with pytest.raises(ValueError, match="requires use_train_test_split"):
+        trainer.train()
