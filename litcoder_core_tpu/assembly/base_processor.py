@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 
 from litcoder_core_tpu.assembly.assemblies import SimpleNeuroidAssembly
-from litcoder_core_tpu.assembly.story_data import StoryData
+
 from litcoder_core_tpu.brain_projection.project import (
     SurfaceProcessor,
     VolumeProcessor,

@@ -10,7 +10,7 @@ single vectorized gather instead of a per-token Python loop.
 import gzip
 import os
 import re
-from typing import Any, Dict, Iterable, List, Optional, Union
+from typing import Any, Dict, List, Optional, Union
 
 import numpy as np
 

@@ -24,7 +24,7 @@ also inject `model` + `tokenizer` objects directly (tests, custom models).
 """
 
 import logging
-from functools import partial
+
 from typing import Any, Dict, List, Optional, Union
 
 import numpy as np

@@ -18,7 +18,7 @@ Backends mirror the LM extractor: 'flax' (native), 'torch' (CPU fallback),
 """
 
 import logging
-from typing import Dict, Optional, Tuple, Union
+from typing import Optional, Tuple, Union
 
 import numpy as np
 

@@ -17,7 +17,7 @@ Everything voxel-axis shardable like the plain solver.
 """
 
 import logging
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -10,7 +10,7 @@ only tqdm bars; this is the TPU-native observability tier).
 import logging
 import time
 from contextlib import contextmanager
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 logger = logging.getLogger(__name__)
 
