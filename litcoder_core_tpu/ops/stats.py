@@ -126,6 +126,43 @@ def bh_fdrcorrection(pvals, alpha: float = 0.05, is_sorted: bool = False):
     return reject_sorted[inv], corrected_sorted[inv]
 
 
+@partial(jax.jit, static_argnames=("n_permutations", "two_sided"))
+def permutation_pvalues(y_true, y_pred, key, n_permutations: int = 1000,
+                        two_sided: bool = False):
+    """Voxelwise permutation p-values via circular time shifts, on device.
+
+    Circular shifts preserve each series' autocorrelation structure (the
+    standard non-parametric null for fMRI time series), unlike iid shuffles.
+    Not in the reference (it uses parametric pearsonr p-values only); named
+    by the north star ("permutation significance on-device").
+
+    Args:
+        y_true/y_pred: (T, V).
+        key: jax PRNG key.
+        n_permutations: number of null shifts.
+
+    Returns:
+        (p_values (V,), observed_r (V,)): p = (1 + #{|null| >= |obs|}) /
+        (n_permutations + 1) when two_sided, else one-sided on r.
+    """
+    y_true = jnp.asarray(y_true, jnp.float32)
+    y_pred = jnp.asarray(y_pred, jnp.float32)
+    T = y_true.shape[0]
+    obs = pearson_r(y_true, y_pred)
+
+    offsets = jax.random.randint(key, (n_permutations,), 1, T)
+
+    def one_shift(off):
+        null_r = pearson_r(y_true, jnp.roll(y_pred, off, axis=0))
+        if two_sided:
+            return (jnp.abs(null_r) >= jnp.abs(obs)).astype(jnp.float32)
+        return (null_r >= obs).astype(jnp.float32)
+
+    exceed = jax.lax.map(one_shift, offsets).sum(axis=0)
+    p = (1.0 + exceed) / (n_permutations + 1.0)
+    return p, obs
+
+
 def signed_square_corr(y_true, y_pred, axis=0, eps: float = 0.0):
     """Signed-sqrt R^2 metric (use_corr=False path), matching
     encoding/models/ridge_regression.py:127-130 with torch-unbiased variance."""

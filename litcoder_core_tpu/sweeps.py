@@ -1,0 +1,48 @@
+"""Sweep utilities: all-layer comparisons over cached activations.
+
+Driver config #3 ("LeBel UTS03 GPT-2 all-layer sweep — ActivationCache +
+layer selection"): once one run has populated the all-layer activation cache,
+every further layer costs only the (fast, device-side) ridge fit.
+"""
+
+import logging
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+logger = logging.getLogger(__name__)
+
+
+def run_layer_sweep(
+    make_trainer: Callable[[int], Any],
+    layers: Sequence[int],
+    train_kwargs: Optional[Dict[str, Any]] = None,
+) -> List[Dict[str, Any]]:
+    """Train one model per layer and collect summary metrics.
+
+    Args:
+        make_trainer: layer_idx -> configured AbstractTrainer. The FIRST call
+            populates the all-layer activation cache; later layers hit it.
+        layers: layer indices to sweep.
+        train_kwargs: forwarded to trainer.train().
+
+    Returns:
+        List of {"layer", "median_score", "mean_score", "n_significant"}
+        sorted by layer order given.
+    """
+    train_kwargs = train_kwargs or {}
+    results = []
+    for layer in layers:
+        trainer = make_trainer(layer)
+        metrics = trainer.train(**train_kwargs)
+        row = {
+            "layer": int(layer),
+            "median_score": float(metrics["median_score"]),
+            "mean_score": float(metrics["mean_score"]),
+            "n_significant": int(metrics.get("n_significant", 0)),
+        }
+        logger.info("layer %d: median r = %.4f (%d significant)",
+                    layer, row["median_score"], row["n_significant"])
+        results.append(row)
+    best = max(results, key=lambda r: r["median_score"])
+    logger.info("best layer: %d (median r = %.4f)", best["layer"],
+                best["median_score"])
+    return results

@@ -103,3 +103,40 @@ def test_zscore_matches_torch_unbiased():
     ref = ((t - t.mean(dim=0, keepdim=True))
            / (t.std(dim=0, keepdim=True) + 1e-8)).numpy()
     assert np.allclose(ours, ref, atol=1e-5)
+
+
+def test_permutation_pvalues():
+    import jax
+
+    from litcoder_core_tpu.ops.stats import permutation_pvalues
+
+    T, V = 200, 6
+    y_true = rng.normal(size=(T, V)).astype(np.float32)
+    # First 3 voxels perfectly predicted, last 3 pure noise.
+    y_pred = np.concatenate(
+        [y_true[:, :3], rng.normal(size=(T, 3)).astype(np.float32)], axis=1
+    )
+    p, obs = permutation_pvalues(
+        y_true, y_pred, jax.random.PRNGKey(0), n_permutations=200
+    )
+    p, obs = np.asarray(p), np.asarray(obs)
+    # Signal voxels: minimal possible p = 1/(n+1); noise voxels: large p.
+    assert np.all(p[:3] <= 2 / 201)
+    assert np.all(p[3:] > 0.05)
+    assert np.all(obs[:3] > 0.99)
+
+
+def test_permutation_pvalues_two_sided():
+    import jax
+
+    from litcoder_core_tpu.ops.stats import permutation_pvalues
+
+    y_true = rng.normal(size=(150, 2)).astype(np.float32)
+    y_pred = -y_true  # perfect anticorrelation
+    p1, _ = permutation_pvalues(y_true, y_pred, jax.random.PRNGKey(1),
+                                n_permutations=100)
+    p2, _ = permutation_pvalues(y_true, y_pred, jax.random.PRNGKey(1),
+                                n_permutations=100, two_sided=True)
+    # One-sided on r: anticorrelation is NOT significant; two-sided: it is.
+    assert np.all(np.asarray(p1) > 0.5)
+    assert np.all(np.asarray(p2) <= 2 / 101)

@@ -326,3 +326,46 @@ def test_trainer_banded_requires_train_test_split(assembly, tmp_path):
     )
     with pytest.raises(ValueError, match="requires use_train_test_split"):
         trainer.train()
+
+
+def test_layer_sweep(assembly, tmp_path):
+    """Layer sweep reuses the activation cache after the first layer."""
+    from transformers import FlaxGPT2Model, GPT2Config
+
+    from litcoder_core_tpu.sweeps import run_layer_sweep
+    from tests.test_features import StubTokenizer
+
+    config = GPT2Config(vocab_size=600, n_positions=64, n_embd=8,
+                        n_layer=3, n_head=2)
+    model = FlaxGPT2Model(config, seed=0)
+    extractor = FeatureExtractorFactory.create_extractor(
+        "language_model", "tiny-gpt2-sweep",
+        {"model": model, "tokenizer": StubTokenizer(), "last_token": True},
+        cache_dir=str(tmp_path / "cache"),
+    )
+
+    def make_trainer(layer_idx):
+        return AbstractTrainer(
+            assembly=assembly,
+            feature_extractors=[extractor],
+            downsampler=Downsampler(),
+            model=NestedCVModel(seed=0),
+            fir_delays=[1, 2],
+            trimming_config={},
+            use_train_test_split=False,
+            layer_idx=layer_idx,
+            dataset_type="narratives",
+            logger_backend="none",
+            results_dir=str(tmp_path / "results"),
+            downsample_config={"method": "average"},
+            story_selection=[assembly.stories[0], assembly.stories[1]],
+        )
+
+    results = run_layer_sweep(
+        make_trainer, layers=[0, 1, 2],
+        train_kwargs=dict(chunk_length=10, n_outer_folds=3,
+                          n_inner_folds=3),
+    )
+    assert [r["layer"] for r in results] == [0, 1, 2]
+    # One cache file per story despite 3 layer runs.
+    assert len(list((tmp_path / "cache").glob("*.npz"))) == 2
