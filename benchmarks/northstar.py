@@ -1,0 +1,70 @@
+"""North-star benchmark: LeBel-UTS03-GPT-2-shaped whole-brain nested-CV fit.
+
+Shapes per BASELINE.md: ~27k train TRs, 2k test TRs, D=3072 (GPT-2-small
+768 x 4 FIR delays), V=95556 whole-brain voxels, 10 alphas, 5 inner folds.
+Reports cold (transfers + compile + compute) and warm (device-resident,
+compiled) wall times for the target "full fit < 2 min on one v5e".
+
+Run: python benchmarks/northstar.py [--surface]  (--surface: V=20484)
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--surface", action="store_true",
+                        help="fsaverage5 V=20484 instead of whole-brain")
+    parser.add_argument("--voxel_chunk", type=int, default=4096)
+    args = parser.parse_args()
+
+    T, TP, D, A, F, CHUNK = 26880, 2048, 3072, 10, 5, 20
+    V = 20484 if args.surface else 95556
+
+    rng = np.random.default_rng(0)
+    print("building data...", flush=True)
+    X = rng.normal(size=(T, D)).astype(np.float32)
+    wt = (rng.normal(size=(D, 256)) / np.sqrt(D)).astype(np.float32)
+    mix = rng.normal(size=(256, V)).astype(np.float32) / 16
+    Y = (X @ wt @ mix
+         + rng.normal(size=(T, V)).astype(np.float32)).astype(np.float32)
+    X_test = rng.normal(size=(TP, D)).astype(np.float32)
+    Y_test = (X_test @ wt @ mix
+              + rng.normal(size=(TP, V)).astype(np.float32)
+              ).astype(np.float32)
+    alphas = np.logspace(-1, 8, A)
+
+    import jax
+
+    from litcoder_core_tpu.models.nested_cv import fit_nested_cv
+
+    def fit(Xd, Yd, Xtd, Ytd):
+        return fit_nested_cv(
+            Xd, Yd, X_test=Xtd, y_test=Ytd, chunk_length=CHUNK,
+            n_inner_folds=F, alphas=alphas, seed=0,
+            voxel_chunk_size=args.voxel_chunk, method="eigh",
+        )
+
+    print("cold fit (transfers + compile + compute)...", flush=True)
+    t0 = time.perf_counter()
+    metrics, _, _ = fit(X, Y, X_test, Y_test)
+    cold = time.perf_counter() - t0
+    print(f"cold: {cold:.1f}s  median r={metrics['median_score']:.3f} "
+          f"n_sig={metrics['n_significant']}/{V}", flush=True)
+
+    print("warm fit (device-resident, compiled)...", flush=True)
+    Xd, Yd, Xtd, Ytd = jax.device_put((X, Y, X_test, Y_test))
+    jax.block_until_ready((Xd, Yd, Xtd, Ytd))
+    t0 = time.perf_counter()
+    metrics, _, _ = fit(Xd, Yd, Xtd, Ytd)
+    warm = time.perf_counter() - t0
+    print(f"warm: {warm:.1f}s  median r={metrics['median_score']:.3f}",
+          flush=True)
+    print(f"NORTHSTAR cold={cold:.1f}s warm={warm:.1f}s V={V}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

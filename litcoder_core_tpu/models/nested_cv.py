@@ -142,9 +142,15 @@ def _fit_and_score(
     singcutoff: float,
     voxel_chunk_size: Optional[int],
     method: str = "auto",
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return_weights: bool = True,
+) -> Tuple[Optional[np.ndarray], np.ndarray, np.ndarray]:
     """Refit with per-voxel alphas, predict held-out, return
-    (weights (D,V), correlations (V,), pvalues (V,)) as numpy."""
+    (weights (D,V) or None, correlations (V,), pvalues (V,)) as numpy.
+
+    return_weights=False skips materializing the (D, V) weight matrix on
+    host — for whole-brain fits that's a GB-scale transfer the common
+    metrics-only workflow never uses (the reference's ModelSaver likewise
+    defaults to save_weights=False, utils.py:330)."""
     n_voxels = Y_train.shape[1]
     svd = ridge_svd(X_train, None, singcutoff=singcutoff, method=method)
     valphas_j = jnp.asarray(valphas, jnp.float32)
@@ -155,11 +161,12 @@ def _fit_and_score(
         wt = ridge_fit_from_svd(svd, Y_train[:, lo:hi], nalphas[lo:hi])
         y_pred = predict(X_test, wt)
         corr, pval = pearson_r_pvalues(Y_test[:, lo:hi], y_pred)
-        wt_parts.append(np.asarray(wt))
+        if return_weights:
+            wt_parts.append(np.asarray(wt))
         corr_parts.append(np.asarray(corr))
         pval_parts.append(np.asarray(pval))
     return (
-        np.concatenate(wt_parts, axis=1),
+        np.concatenate(wt_parts, axis=1) if return_weights else None,
         np.concatenate(corr_parts),
         np.concatenate(pval_parts),
     )
@@ -189,6 +196,7 @@ def fit_nested_cv(
     method: str = "auto",
     inner_splits: Optional[List] = None,
     outer_splits: Optional[List] = None,
+    return_weights: bool = True,
 ) -> Tuple[Metrics, np.ndarray, np.ndarray]:
     """Nested-CV ridge fit. Signature and return contract match
     NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with two
@@ -236,6 +244,7 @@ def fit_nested_cv(
         wt, correlations, pvalues = _fit_and_score(
             features_j, targets_j, X_test_j, y_test_j, best_valphas,
             normalpha, singcutoff, voxel_chunk_size, method,
+            return_weights=return_weights,
         )
         significant, corrected_pvals = map(
             np.asarray, bh_fdrcorrection(jnp.asarray(pvalues), alpha=alpha_fdr)

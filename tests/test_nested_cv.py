@@ -117,3 +117,12 @@ def test_use_corr_false_path():
         X, Y, X_test=X[:50], y_test=Y[:50], use_corr=False, seed=0,
     )
     assert np.isfinite(metrics["median_score"])
+
+
+def test_return_weights_false():
+    X, Y, _ = _synthetic(T=300, V=10, n_signal=10)
+    m, w, a = fit_nested_cv(
+        X, Y, X_test=X[:50], y_test=Y[:50], seed=0, return_weights=False,
+    )
+    assert w is None
+    assert np.isfinite(m["median_score"])
