@@ -156,19 +156,22 @@ def _fit_and_score(
     valphas_j = jnp.asarray(valphas, jnp.float32)
     nalphas = valphas_j * svd.S[0] if normalpha else valphas_j
 
+    # Dispatch every chunk asynchronously; fetch results ONCE at the end
+    # (per-chunk np.asarray would serialize on host round trips).
     wt_parts, corr_parts, pval_parts = [], [], []
     for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
         wt = ridge_fit_from_svd(svd, Y_train[:, lo:hi], nalphas[lo:hi])
         y_pred = predict(X_test, wt)
         corr, pval = pearson_r_pvalues(Y_test[:, lo:hi], y_pred)
         if return_weights:
-            wt_parts.append(np.asarray(wt))
-        corr_parts.append(np.asarray(corr))
-        pval_parts.append(np.asarray(pval))
+            wt_parts.append(wt)
+        corr_parts.append(corr)
+        pval_parts.append(pval)
     return (
-        np.concatenate(wt_parts, axis=1) if return_weights else None,
-        np.concatenate(corr_parts),
-        np.concatenate(pval_parts),
+        np.asarray(jnp.concatenate(wt_parts, axis=1))
+        if return_weights else None,
+        np.asarray(jnp.concatenate(corr_parts)),
+        np.asarray(jnp.concatenate(pval_parts)),
     )
 
 

@@ -93,8 +93,8 @@ def fisher_combine_pvalues(fold_pvalues, eps: float = 0.0):
     return jnp.where(all_ones, 1.0, combined)
 
 
-@partial(jax.jit, static_argnames=("alpha", "is_sorted"))
-def bh_fdrcorrection(pvals, alpha: float = 0.05, is_sorted: bool = False):
+@partial(jax.jit, static_argnames=("alpha",))
+def bh_fdrcorrection(pvals, alpha: float = 0.05):
     """Benjamini-Hochberg FDR: returns (reject_mask, corrected_pvals).
 
     Device-side equivalent of statsmodels fdrcorrection(alpha, method='indep')
