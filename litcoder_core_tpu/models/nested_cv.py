@@ -55,21 +55,30 @@ from functools import partial
 import jax
 
 
-@partial(
-    jax.jit,
-    static_argnames=("normalpha", "use_corr", "singcutoff", "method"),
-)
-def _vmapped_fold_scores(X, Y, train_idx, val_idx, alphas,
-                         normalpha: bool, use_corr: bool,
-                         singcutoff: float, method: str):
-    """(F, A, V) inner-fold scores with folds vmapped (equal fold shapes)."""
+@partial(jax.jit, static_argnames=("singcutoff", "method"))
+def _fold_spectral_states(X, train_idx, val_idx, singcutoff: float,
+                          method: str):
+    """Batched RidgeSVD over equal-shape folds — computed ONCE per fit and
+    reused by every voxel chunk (the factorization depends only on X)."""
 
     def one_fold(tr, va):
-        svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff, method=method)
-        nal = alphas * svd.S[0] if normalpha else alphas
-        return ridge_corr_from_svd(svd, Y[tr], Y[va], nal, use_corr=use_corr)
+        return ridge_svd(X[tr], X[va], singcutoff=singcutoff, method=method)
 
     return jax.vmap(one_fold)(train_idx, val_idx)
+
+
+@partial(jax.jit, static_argnames=("normalpha", "use_corr"))
+def _score_chunk_with_states(states, Y_chunk, train_idx, val_idx, alphas,
+                             normalpha: bool, use_corr: bool):
+    """(A, Vc) mean inner-fold scores for one voxel chunk, reusing the
+    precomputed fold spectral states."""
+
+    def one_fold(state, tr, va):
+        nal = alphas * state.S[0] if normalpha else alphas
+        return ridge_corr_from_svd(state, Y_chunk[tr], Y_chunk[va], nal,
+                                   use_corr=use_corr)
+
+    return jax.vmap(one_fold)(states, train_idx, val_idx).mean(axis=0)
 
 
 def _find_best_alphas(
@@ -98,12 +107,13 @@ def _find_best_alphas(
     if len(shapes) == 1:
         tr_idx = jnp.asarray(np.stack([tr for tr, _ in fold_splits]))
         va_idx = jnp.asarray(np.stack([va for _, va in fold_splits]))
+        states = _fold_spectral_states(X, tr_idx, va_idx, singcutoff, method)
         chunks = []
         for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
-            chunks.append(_vmapped_fold_scores(
-                X, Y[:, lo:hi], tr_idx, va_idx, alphas_j, normalpha,
-                use_corr, singcutoff, method,
-            ).mean(axis=0))
+            chunks.append(_score_chunk_with_states(
+                states, Y[:, lo:hi], tr_idx, va_idx, alphas_j, normalpha,
+                use_corr,
+            ))
         mean_corrs = jnp.concatenate(chunks, axis=1)  # (A, V)
     else:
         corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
