@@ -81,6 +81,89 @@ def _score_chunk_with_states(states, Y_chunk, train_idx, val_idx, alphas,
     return jax.vmap(one_fold)(states, train_idx, val_idx).mean(axis=0)
 
 
+# --- complement-Gram fast path (eigh, equal-shape folds) ---------------------
+#
+# For chunked CV each fold's training rows are "everything except the val
+# rows" (up to dropped remainder samples), but even when they aren't, the
+# identities below only use the rows actually indexed, so they hold exactly:
+#   G_tr    = X_tr^T X_tr = X_all_tr^T X_all_tr computed directly, or
+#             equivalently from the union gram minus the val gram when the
+#             fold partitions the sample set.
+# We exploit the partition structure of chunked folds: every sample row used
+# by ANY fold appears in exactly one val fold, so with U = union of fold
+# rows, G_tr(f) = G_U - X_va(f)^T X_va(f) and X_tr(f)^T Y = X_U^T Y -
+# X_va(f)^T Y_va(f). This removes all (F, T_tr, .) gathers and shrinks the
+# dominant matmuls from F*T_tr to T_U + F*T_va rows.
+
+
+@partial(jax.jit, static_argnames=("singcutoff",))
+def _fold_states_complement(X, union_idx, val_idx, singcutoff: float):
+    """Per-fold (S, Vh, good, PVh, Xva) via the complement-Gram identity."""
+    X = jnp.asarray(X, jnp.float32)
+    Xu = X[union_idx]  # (Tu, D) rows used by the fold scheme
+    G_union = jnp.dot(Xu.T, Xu, precision=jax.lax.Precision.HIGHEST)
+
+    def one_fold(va):
+        Xva = X[va]
+        G = G_union - jnp.dot(Xva.T, Xva,
+                              precision=jax.lax.Precision.HIGHEST)
+        evals, evecs = jnp.linalg.eigh(G)
+        evals = jnp.flip(evals)
+        evecs = jnp.flip(evecs, axis=1)
+        S = jnp.sqrt(jnp.maximum(evals, 0.0))
+        Vh = evecs.T
+        good = S > singcutoff
+        PVh = jnp.dot(Xva, Vh.T, precision=jax.lax.Precision.HIGHEST)
+        return S, Vh, good, PVh, Xva
+
+    return jax.vmap(one_fold)(val_idx)
+
+
+@partial(jax.jit, static_argnames=("normalpha", "use_corr"))
+def _score_chunk_complement(states, X_union, Y_union_chunk, val_pos, alphas,
+                            normalpha: bool, use_corr: bool):
+    """(A, Vc) mean fold scores with UR built by complement products.
+
+    Args:
+        states: (S, Vh, good, PVh, Xva) batched over folds.
+        X_union/Y_union_chunk: rows restricted to the fold-scheme union.
+        val_pos: (F, Tva) positions of each fold's val rows WITHIN the union.
+    """
+    from litcoder_core_tpu.models.ridge import score_alpha_grid
+
+    S_all, Vh_all, good_all, PVh_all, Xva_all = states
+    XtY = jnp.dot(X_union.T, Y_union_chunk,
+                  precision=jax.lax.Precision.HIGHEST)  # (D, Vc), shared
+
+    def one_fold(S, Vh, good, PVh, Xva, vp):
+        Yva = Y_union_chunk[vp]
+        XtY_tr = XtY - jnp.dot(Xva.T, Yva,
+                               precision=jax.lax.Precision.HIGHEST)
+        inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
+        UR = inv_s[:, None] * jnp.dot(Vh, XtY_tr,
+                                      precision=jax.lax.Precision.HIGHEST)
+        nal = alphas * S[0] if normalpha else alphas
+        return score_alpha_grid(S, good, PVh, UR, Yva, nal,
+                                use_corr=use_corr)
+
+    return jax.vmap(one_fold)(
+        S_all, Vh_all, good_all, PVh_all, Xva_all, val_pos
+    ).mean(axis=0)
+
+
+def _folds_partition_union(fold_splits) -> bool:
+    """True iff each fold's train rows = union rows minus its val rows (the
+    chunked-fold structure the complement identity requires)."""
+    union = np.unique(np.concatenate(
+        [np.concatenate([tr, va]) for tr, va in fold_splits]
+    ))
+    union_set = set(union.tolist())
+    for tr, va in fold_splits:
+        if set(tr.tolist()) != union_set - set(va.tolist()):
+            return False
+    return True
+
+
 def _find_best_alphas(
     X: jnp.ndarray,
     Y: jnp.ndarray,
@@ -104,10 +187,38 @@ def _find_best_alphas(
     alphas_j = jnp.asarray(alphas, jnp.float32)
 
     shapes = {(len(tr), len(va)) for tr, va in fold_splits}
-    if len(shapes) == 1:
+    ttr, _tva = next(iter(shapes)) if len(shapes) == 1 else (0, 0)
+    resolved = method
+    if resolved == "auto":
+        resolved = "eigh" if ttr >= X.shape[1] else "svd"
+
+    if (len(shapes) == 1 and resolved == "eigh"
+            and _folds_partition_union(fold_splits)):
+        # Complement-Gram fast path: no (F, Ttr, .) gathers at all. The
+        # union must cover every row any fold touches (train rows outside
+        # all val folds included), matching _folds_partition_union.
+        union = np.unique(np.concatenate(
+            [np.concatenate([tr, va]) for tr, va in fold_splits]
+        ))
+        val_pos = jnp.asarray(np.stack([
+            np.searchsorted(union, va) for _, va in fold_splits
+        ]))
+        va_idx = jnp.asarray(np.stack([va for _, va in fold_splits]))
+        union_j = jnp.asarray(union)
+        states = _fold_states_complement(X, union_j, va_idx, singcutoff)
+        X_union = jnp.asarray(X, jnp.float32)[union_j]
+        chunks = []
+        for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
+            Yu = jnp.asarray(Y[:, lo:hi], jnp.float32)[union_j]
+            chunks.append(_score_chunk_complement(
+                states, X_union, Yu, val_pos, alphas_j, normalpha, use_corr,
+            ))
+        mean_corrs = jnp.concatenate(chunks, axis=1)  # (A, V)
+    elif len(shapes) == 1:
         tr_idx = jnp.asarray(np.stack([tr for tr, _ in fold_splits]))
         va_idx = jnp.asarray(np.stack([va for _, va in fold_splits]))
-        states = _fold_spectral_states(X, tr_idx, va_idx, singcutoff, method)
+        states = _fold_spectral_states(X, tr_idx, va_idx, singcutoff,
+                                       resolved)
         chunks = []
         for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
             chunks.append(_score_chunk_with_states(

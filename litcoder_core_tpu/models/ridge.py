@@ -141,14 +141,25 @@ def ridge_corr_from_svd(svd: RidgeSVD, Rresp, Presp, nalphas,
         (A, Vc) correlations (NaN -> 0), matching ridge_corr_torch
         (encoding/models/ridge_regression.py:104-141).
     """
-    Presp = jnp.asarray(Presp, jnp.float32)
     UR = _ur_product(svd, Rresp)  # (k, Vc)
+    return score_alpha_grid(svd.S, svd.good, svd.PVh, UR, Presp, nalphas,
+                            use_corr=use_corr)
+
+
+def score_alpha_grid(S, good, PVh, UR, Presp, nalphas,
+                     use_corr: bool = True):
+    """(A, Vc) alpha-grid scores from spectral products — the shared scoring
+    core: pred_a = (PVh * D_a) @ UR, correlation (or signed R^2) against
+    Presp, NaN -> 0 (ridge_regression.py:104-141 semantics). lax.map keeps
+    peak memory at one (Tp, Vc) prediction; all A steps stay on device with
+    the spectral products resident in HBM."""
+    Presp = jnp.asarray(Presp, jnp.float32)
     zPresp = zscore(Presp, axis=0)
     Prespvar = jnp.var(Presp, axis=0, ddof=1)
 
     def score_one_alpha(na):
-        D = jnp.where(svd.good, svd.S / (svd.S**2 + na**2), 0.0)
-        pred = jnp.dot(svd.PVh * D[None, :], UR, precision=_HIGHEST)
+        D = jnp.where(good, S / (S**2 + na**2), 0.0)
+        pred = jnp.dot(PVh * D[None, :], UR, precision=_HIGHEST)
         if use_corr:
             rcorr = jnp.mean(zPresp * zscore(pred, axis=0), axis=0)
         else:
@@ -157,8 +168,6 @@ def ridge_corr_from_svd(svd: RidgeSVD, Rresp, Presp, nalphas,
             rcorr = jnp.sqrt(jnp.abs(rsq)) * jnp.sign(rsq)
         return jnp.nan_to_num(rcorr, nan=0.0, posinf=0.0, neginf=0.0)
 
-    # lax.map keeps peak memory at one (Tp, Vc) prediction; all A steps stay
-    # on device back-to-back with the spectral products resident in HBM.
     return jax.lax.map(score_one_alpha, jnp.asarray(nalphas, jnp.float32))
 
 

@@ -126,3 +126,38 @@ def test_return_weights_false():
     )
     assert w is None
     assert np.isfinite(m["median_score"])
+
+
+def test_complement_fast_path_matches_svd_path():
+    """The complement-Gram eigh fast path must match the direct svd path."""
+    X, Y, _ = _synthetic(T=400, V=20)
+    Xte = rng.normal(size=(80, 8)).astype(np.float32)
+    Yte = rng.normal(size=(80, 20)).astype(np.float32)
+    m_fast, w_fast, a_fast = fit_nested_cv(
+        X, Y, X_test=Xte, y_test=Yte, seed=0, method="eigh",
+        chunk_length=20,
+    )
+    m_ref, w_ref, a_ref = fit_nested_cv(
+        X, Y, X_test=Xte, y_test=Yte, seed=0, method="svd",
+        chunk_length=20,
+    )
+    assert np.array_equal(a_fast, a_ref)  # coarse grid: identical argmax
+    assert np.allclose(m_fast["correlations"], m_ref["correlations"],
+                       atol=2e-3)
+    assert np.allclose(w_fast, w_ref, atol=3e-3)
+
+
+def test_complement_path_with_voxel_chunking():
+    X, Y, _ = _synthetic(T=400, V=23)
+    Xte = rng.normal(size=(80, 8)).astype(np.float32)
+    Yte = rng.normal(size=(80, 23)).astype(np.float32)
+    m1, w1, a1 = fit_nested_cv(
+        X, Y, X_test=Xte, y_test=Yte, seed=0, method="eigh",
+        voxel_chunk_size=None,
+    )
+    m2, w2, a2 = fit_nested_cv(
+        X, Y, X_test=Xte, y_test=Yte, seed=0, method="eigh",
+        voxel_chunk_size=6,
+    )
+    assert np.array_equal(a1, a2)
+    assert np.allclose(m1["correlations"], m2["correlations"], atol=1e-5)
