@@ -46,3 +46,36 @@ def run_layer_sweep(
     logger.info("best layer: %d (median r = %.4f)", best["layer"],
                 best["median_score"])
     return results
+
+
+def run_subject_sweep(configs: Sequence[Dict[str, Any]],
+                      ) -> List[Dict[str, Any]]:
+    """Run the unified pipeline for a list of CLI-style config dicts.
+
+    Subjects x models sweeps are embarrassingly parallel (SURVEY.md §5.8):
+    across hosts, launch one process per config (each host drives its own
+    chips; no collectives needed). Within one host this runs them
+    sequentially on the local device.
+
+    Each config is what `litcoder_core_tpu.cli.run` accepts (the parsed-args
+    dict). Returns one summary row per config; failures are recorded, not
+    raised, so a sweep survives individual bad subjects.
+    """
+    from litcoder_core_tpu.cli import run
+
+    results = []
+    for config in configs:
+        label = f"{config.get('dataset_type')}/{config.get('subject')}"
+        try:
+            metrics = run(dict(config))
+            results.append({
+                "config": label,
+                "median_score": float(metrics["median_score"]),
+                "n_significant": int(metrics.get("n_significant", 0)),
+                "error": None,
+            })
+        except Exception as e:  # keep sweeping past bad subjects
+            logger.warning("sweep config %s failed: %s", label, e)
+            results.append({"config": label, "median_score": float("nan"),
+                            "n_significant": 0, "error": str(e)})
+    return results

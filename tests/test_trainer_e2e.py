@@ -369,3 +369,33 @@ def test_layer_sweep(assembly, tmp_path):
     assert [r["layer"] for r in results] == [0, 1, 2]
     # One cache file per story despite 3 layer runs.
     assert len(list((tmp_path / "cache").glob("*.npz"))) == 2
+
+
+def test_subject_sweep(assembly, tmp_path):
+    """Subject sweep over CLI configs; bad configs recorded, not raised."""
+    from litcoder_core_tpu.assembly.assembly_loader import save_assembly
+    from litcoder_core_tpu.sweeps import run_subject_sweep
+
+    asm_path = str(tmp_path / "asm.pkl")
+    save_assembly(assembly, asm_path)
+    base = dict(
+        dataset_type="lebel", assembly_path=asm_path, data_dir=None,
+        subject="S1", tr=2.0, context_type="fullcontext", use_volume=False,
+        story_idx=None, modalities=["wordrate"], model_names=["wordrate"],
+        layer_idx=9, last_token=False, n_outer_folds=5, n_inner_folds=3,
+        folding_type="chunked", chunk_length=10, singcutoff=1e-10,
+        single_alpha=True, seed=0, downsample_method="lanczos",
+        lanczos_cutoff_mult=1.0, lanczos_window=3, normalize_features=False,
+        normalize_targets=False, ndelays=4, lookback=256,
+        cache_dir=str(tmp_path / "cache"),
+        results_dir=str(tmp_path / "results"), logger_backend="none",
+        train_features_start=5, train_features_end=-5,
+        train_targets_start=5, train_targets_end=-5,
+        test_features_start=5, test_features_end=-5,
+        test_targets_start=5, test_targets_end=-5,
+    )
+    bad = dict(base, assembly_path=str(tmp_path / "missing.pkl"),
+               subject="S2")
+    rows = run_subject_sweep([base, bad])
+    assert rows[0]["error"] is None and rows[0]["median_score"] > 0.2
+    assert rows[1]["error"] is not None and np.isnan(rows[1]["median_score"])
