@@ -46,6 +46,9 @@ def main():
             Xd, Yd, X_test=Xtd, y_test=Ytd, chunk_length=CHUNK,
             n_inner_folds=F, alphas=alphas, seed=0,
             voxel_chunk_size=args.voxel_chunk, method="eigh",
+            # Metrics-only (the reference's ModelSaver likewise defaults to
+            # save_weights=False) — skips the GB-scale weight fetch.
+            return_weights=False,
         )
 
     print("cold fit (transfers + compile + compute)...", flush=True)

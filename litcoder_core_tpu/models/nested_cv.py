@@ -119,9 +119,8 @@ def _fold_states_complement(X, union_idx, val_idx, singcutoff: float):
     return jax.vmap(one_fold)(val_idx)
 
 
-@partial(jax.jit, static_argnames=("normalpha", "use_corr"))
-def _score_chunk_complement(states, X_union, Y_union_chunk, val_pos, alphas,
-                            normalpha: bool, use_corr: bool):
+def _score_chunk_complement_body(states, X_union, Y_union_chunk, val_pos,
+                                 alphas, normalpha: bool, use_corr: bool):
     """(A, Vc) mean fold scores with UR built by complement products.
 
     Args:
@@ -149,6 +148,29 @@ def _score_chunk_complement(states, X_union, Y_union_chunk, val_pos, alphas,
     return jax.vmap(one_fold)(
         S_all, Vh_all, good_all, PVh_all, Xva_all, val_pos
     ).mean(axis=0)
+
+
+@partial(jax.jit,
+         static_argnames=("normalpha", "use_corr", "chunk"))
+def _score_all_complement(states, X_union, Y_union, val_pos, alphas,
+                          normalpha: bool, use_corr: bool, chunk: int):
+    """(A, V_pad) scores, ALL voxel chunks inside one XLA program.
+
+    The chunk loop runs as lax.map (sequential, bounded memory) so the whole
+    alpha search is one dispatch — per-chunk host round trips were the
+    dominant cost on high-latency device links.
+    """
+    tu, v_pad = Y_union.shape
+    n_chunks = v_pad // chunk
+
+    def body(c):
+        Yc = jax.lax.dynamic_slice(Y_union, (0, c * chunk), (tu, chunk))
+        return _score_chunk_complement_body(
+            states, X_union, Yc, val_pos, alphas, normalpha, use_corr
+        )
+
+    out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
+    return jnp.moveaxis(out, 0, 1).reshape(alphas.shape[0], v_pad)
 
 
 def _folds_partition_union(fold_splits) -> bool:
@@ -207,13 +229,16 @@ def _find_best_alphas(
         union_j = jnp.asarray(union)
         states = _fold_states_complement(X, union_j, va_idx, singcutoff)
         X_union = jnp.asarray(X, jnp.float32)[union_j]
-        chunks = []
-        for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
-            Yu = jnp.asarray(Y[:, lo:hi], jnp.float32)[union_j]
-            chunks.append(_score_chunk_complement(
-                states, X_union, Yu, val_pos, alphas_j, normalpha, use_corr,
-            ))
-        mean_corrs = jnp.concatenate(chunks, axis=1)  # (A, V)
+        Y_union = jnp.asarray(Y, jnp.float32)[union_j]
+        chunk = (voxel_chunk_size if voxel_chunk_size is not None
+                 else n_voxels)
+        pad = (-n_voxels) % chunk
+        if pad:
+            Y_union = jnp.pad(Y_union, ((0, 0), (0, pad)))
+        mean_corrs = _score_all_complement(
+            states, X_union, Y_union, val_pos, alphas_j, normalpha,
+            use_corr, chunk,
+        )[:, :n_voxels]  # (A, V); one dispatch for every chunk
     elif len(shapes) == 1:
         tr_idx = jnp.asarray(np.stack([tr for tr, _ in fold_splits]))
         va_idx = jnp.asarray(np.stack([va for _, va in fold_splits]))
@@ -277,6 +302,25 @@ def _fit_and_score(
     valphas_j = jnp.asarray(valphas, jnp.float32)
     nalphas = valphas_j * svd.S[0] if normalpha else valphas_j
 
+    if not return_weights:
+        # Metrics-only: the whole refit+score runs as ONE dispatch
+        # (lax.map over voxel chunks inside jit).
+        chunk = (voxel_chunk_size if voxel_chunk_size is not None
+                 else n_voxels)
+        pad = (-n_voxels) % chunk
+        Y_tr = jnp.asarray(Y_train, jnp.float32)
+        Y_te = jnp.asarray(Y_test, jnp.float32)
+        nal = nalphas
+        if pad:
+            Y_tr = jnp.pad(Y_tr, ((0, 0), (0, pad)))
+            Y_te = jnp.pad(Y_te, ((0, 0), (0, pad)))
+            nal = jnp.pad(nal, (0, pad), constant_values=1.0)
+        corr, pval = _refit_score_all(svd, Y_tr, Y_te,
+                                      jnp.asarray(X_test, jnp.float32),
+                                      nal, chunk)
+        return (None, np.asarray(corr)[:n_voxels],
+                np.asarray(pval)[:n_voxels])
+
     # Dispatch every chunk asynchronously; fetch results ONCE at the end
     # (per-chunk np.asarray would serialize on host round trips).
     wt_parts, corr_parts, pval_parts = [], [], []
@@ -294,6 +338,25 @@ def _fit_and_score(
         np.asarray(jnp.concatenate(corr_parts)),
         np.asarray(jnp.concatenate(pval_parts)),
     )
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _refit_score_all(svd, Y_train, Y_test, X_test, nalphas, chunk: int):
+    """(corr, pval) over all voxel chunks in one XLA program."""
+    tu, v_pad = Y_train.shape
+    tp = Y_test.shape[0]
+    n_chunks = v_pad // chunk
+
+    def body(c):
+        Yc = jax.lax.dynamic_slice(Y_train, (0, c * chunk), (tu, chunk))
+        Ytc = jax.lax.dynamic_slice(Y_test, (0, c * chunk), (tp, chunk))
+        nac = jax.lax.dynamic_slice(nalphas, (c * chunk,), (chunk,))
+        wt = ridge_fit_from_svd(svd, Yc, nac)
+        y_pred = predict(X_test, wt)
+        return pearson_r_pvalues(Ytc, y_pred)
+
+    corr, pval = jax.lax.map(body, jnp.arange(n_chunks))
+    return corr.reshape(v_pad), pval.reshape(v_pad)
 
 
 def fit_nested_cv(
