@@ -141,3 +141,24 @@ def test_graft_entry_hooks():
     jax.block_until_ready(out)
     assert np.isfinite(np.asarray(out.correlations)).all()
     ge.dryrun_multichip(8)
+
+
+def test_fused_step_matches_modular_solver():
+    """nested_cv_step and fit_nested_cv must agree on identical folds."""
+    from litcoder_core_tpu.models.nested_cv import fit_nested_cv
+
+    X, Y, X_test, Y_test, alphas = _problem(T=240, V=18)
+    train_idx, val_idx = equal_size_folds(X.shape[0], 4, 10, seed=3)
+    res = nested_cv_step(X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+                         method="svd")
+
+    folds = [(np.asarray(train_idx[f]), np.asarray(val_idx[f]))
+             for f in range(4)]
+    metrics, weights, best_alphas = fit_nested_cv(
+        X, Y, X_test=X_test, y_test=Y_test, alphas=alphas,
+        inner_splits=folds, method="svd",
+    )
+    assert np.allclose(np.asarray(res.best_alphas), best_alphas, atol=1e-6)
+    assert np.allclose(np.asarray(res.correlations),
+                       metrics["correlations"], atol=1e-4)
+    assert np.allclose(np.asarray(res.weights), weights, atol=1e-3)
