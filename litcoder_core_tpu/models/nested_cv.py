@@ -120,7 +120,8 @@ def _fold_states_complement(X, union_idx, val_idx, singcutoff: float):
 
 
 def _score_chunk_complement_body(states, X_union, Y_union_chunk, val_pos,
-                                 alphas, normalpha: bool, use_corr: bool):
+                                 alphas, normalpha: bool, use_corr: bool,
+                                 fast_scan: bool = False):
     """(A, Vc) mean fold scores with UR built by complement products.
 
     Args:
@@ -143,7 +144,7 @@ def _score_chunk_complement_body(states, X_union, Y_union_chunk, val_pos,
                                       precision=jax.lax.Precision.HIGHEST)
         nal = alphas * S[0] if normalpha else alphas
         return score_alpha_grid(S, good, PVh, UR, Yva, nal,
-                                use_corr=use_corr)
+                                use_corr=use_corr, fast_scan=fast_scan)
 
     return jax.vmap(one_fold)(
         S_all, Vh_all, good_all, PVh_all, Xva_all, val_pos
@@ -151,9 +152,10 @@ def _score_chunk_complement_body(states, X_union, Y_union_chunk, val_pos,
 
 
 @partial(jax.jit,
-         static_argnames=("normalpha", "use_corr", "chunk"))
+         static_argnames=("normalpha", "use_corr", "chunk", "fast_scan"))
 def _score_all_complement(states, X_union, Y_union, val_pos, alphas,
-                          normalpha: bool, use_corr: bool, chunk: int):
+                          normalpha: bool, use_corr: bool, chunk: int,
+                          fast_scan: bool = False):
     """(A, V_pad) scores, ALL voxel chunks inside one XLA program.
 
     The chunk loop runs as lax.map (sequential, bounded memory) so the whole
@@ -166,7 +168,8 @@ def _score_all_complement(states, X_union, Y_union, val_pos, alphas,
     def body(c):
         Yc = jax.lax.dynamic_slice(Y_union, (0, c * chunk), (tu, chunk))
         return _score_chunk_complement_body(
-            states, X_union, Yc, val_pos, alphas, normalpha, use_corr
+            states, X_union, Yc, val_pos, alphas, normalpha, use_corr,
+            fast_scan,
         )
 
     out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
@@ -197,6 +200,7 @@ def _find_best_alphas(
     singcutoff: float,
     voxel_chunk_size: Optional[int],
     method: str = "auto",
+    fast_scan: bool = False,
 ) -> np.ndarray:
     """Inner-CV alpha search: mean fold score per (alpha, voxel), then argmax.
 
@@ -237,7 +241,7 @@ def _find_best_alphas(
             Y_union = jnp.pad(Y_union, ((0, 0), (0, pad)))
         mean_corrs = _score_all_complement(
             states, X_union, Y_union, val_pos, alphas_j, normalpha,
-            use_corr, chunk,
+            use_corr, chunk, fast_scan,
         )[:, :n_voxels]  # (A, V); one dispatch for every chunk
     elif len(shapes) == 1:
         tr_idx = jnp.asarray(np.stack([tr for tr, _ in fold_splits]))
@@ -384,6 +388,7 @@ def fit_nested_cv(
     inner_splits: Optional[List] = None,
     outer_splits: Optional[List] = None,
     return_weights: bool = True,
+    fast_scan: bool = False,
 ) -> Tuple[Metrics, np.ndarray, np.ndarray]:
     """Nested-CV ridge fit. Signature and return contract match
     NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with two
@@ -427,6 +432,7 @@ def fit_nested_cv(
         best_valphas = _find_best_alphas(
             features_j, targets_j, inner_splits, alphas, single_alpha,
             normalpha, use_corr, singcutoff, voxel_chunk_size, method,
+            fast_scan,
         )
         wt, correlations, pvalues = _fit_and_score(
             features_j, targets_j, X_test_j, y_test_j, best_valphas,
@@ -486,6 +492,7 @@ def fit_nested_cv(
         best_valphas = _find_best_alphas(
             X_train, y_train, fold_inner_splits, alphas, single_alpha,
             normalpha, use_corr, singcutoff, voxel_chunk_size, method,
+            fast_scan,
         )
         fold_valphas.append(best_valphas)
 

@@ -147,19 +147,26 @@ def ridge_corr_from_svd(svd: RidgeSVD, Rresp, Presp, nalphas,
 
 
 def score_alpha_grid(S, good, PVh, UR, Presp, nalphas,
-                     use_corr: bool = True):
+                     use_corr: bool = True, fast_scan: bool = False):
     """(A, Vc) alpha-grid scores from spectral products — the shared scoring
     core: pred_a = (PVh * D_a) @ UR, correlation (or signed R^2) against
     Presp, NaN -> 0 (ridge_regression.py:104-141 semantics). lax.map keeps
     peak memory at one (Tp, Vc) prediction; all A steps stay on device with
-    the spectral products resident in HBM."""
+    the spectral products resident in HBM.
+
+    fast_scan=True runs the prediction matmuls at default MXU precision
+    (bf16 passes, fp32 accumulate): ~2-4x faster scans. Alpha SELECTION is
+    an argmax over smooth score curves, so it tolerates this; the final
+    refit stays full precision. Opt-in — off by default for reference
+    parity."""
     Presp = jnp.asarray(Presp, jnp.float32)
     zPresp = zscore(Presp, axis=0)
     Prespvar = jnp.var(Presp, axis=0, ddof=1)
+    scan_precision = jax.lax.Precision.DEFAULT if fast_scan else _HIGHEST
 
     def score_one_alpha(na):
         D = jnp.where(good, S / (S**2 + na**2), 0.0)
-        pred = jnp.dot(PVh * D[None, :], UR, precision=_HIGHEST)
+        pred = jnp.dot(PVh * D[None, :], UR, precision=scan_precision)
         if use_corr:
             rcorr = jnp.mean(zPresp * zscore(pred, axis=0), axis=0)
         else:
