@@ -152,28 +152,34 @@ def _score_chunk_complement_body(states, X_union, Y_union_chunk, val_pos,
 
 
 @partial(jax.jit,
-         static_argnames=("normalpha", "use_corr", "chunk", "fast_scan"))
-def _score_all_complement(states, X_union, Y_union, val_pos, alphas,
+         static_argnames=("normalpha", "use_corr", "chunk", "n_chunks",
+                          "offset", "fast_scan"))
+def _score_all_complement(states, X_union, Y, union_idx, val_pos, alphas,
                           normalpha: bool, use_corr: bool, chunk: int,
+                          n_chunks: int, offset: int = 0,
                           fast_scan: bool = False):
-    """(A, V_pad) scores, ALL voxel chunks inside one XLA program.
+    """(A, n_chunks*chunk) scores for voxels [offset, offset+n_chunks*chunk)
+    — ALL chunks inside one XLA program.
 
     The chunk loop runs as lax.map (sequential, bounded memory) so the whole
     alpha search is one dispatch — per-chunk host round trips were the
-    dominant cost on high-latency device links.
+    dominant cost on high-latency device links. Y is passed WHOLE (static
+    offset selects the region): eager slicing or padding of the response
+    matrix would duplicate ~10 GB on device at whole-brain scale. The
+    union-row gather also happens per chunk inside the loop for the same
+    reason.
     """
-    tu, v_pad = Y_union.shape
-    n_chunks = v_pad // chunk
+    t = Y.shape[0]
 
     def body(c):
-        Yc = jax.lax.dynamic_slice(Y_union, (0, c * chunk), (tu, chunk))
+        Yc = jax.lax.dynamic_slice(Y, (0, offset + c * chunk), (t, chunk))
         return _score_chunk_complement_body(
-            states, X_union, Yc, val_pos, alphas, normalpha, use_corr,
-            fast_scan,
+            states, X_union, Yc[union_idx], val_pos, alphas, normalpha,
+            use_corr, fast_scan,
         )
 
     out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
-    return jnp.moveaxis(out, 0, 1).reshape(alphas.shape[0], v_pad)
+    return jnp.moveaxis(out, 0, 1).reshape(alphas.shape[0], n_chunks * chunk)
 
 
 def _folds_partition_union(fold_splits) -> bool:
@@ -233,16 +239,25 @@ def _find_best_alphas(
         union_j = jnp.asarray(union)
         states = _fold_states_complement(X, union_j, va_idx, singcutoff)
         X_union = jnp.asarray(X, jnp.float32)[union_j]
-        Y_union = jnp.asarray(Y, jnp.float32)[union_j]
+        Y_j2 = jnp.asarray(Y, jnp.float32)
         chunk = (voxel_chunk_size if voxel_chunk_size is not None
                  else n_voxels)
-        pad = (-n_voxels) % chunk
-        if pad:
-            Y_union = jnp.pad(Y_union, ((0, 0), (0, pad)))
-        mean_corrs = _score_all_complement(
-            states, X_union, Y_union, val_pos, alphas_j, normalpha,
-            use_corr, chunk, fast_scan,
-        )[:, :n_voxels]  # (A, V); one dispatch for every chunk
+        # Never pad or duplicate the big response matrix: full chunks run in
+        # one lax.map dispatch, the non-divisible tail separately.
+        full = (n_voxels // chunk) * chunk
+        parts = []
+        if full:
+            parts.append(_score_all_complement(
+                states, X_union, Y_j2, union_j, val_pos, alphas_j,
+                normalpha, use_corr, chunk, full // chunk, 0, fast_scan,
+            ))
+        if n_voxels > full:
+            parts.append(_score_all_complement(
+                states, X_union, Y_j2, union_j, val_pos, alphas_j,
+                normalpha, use_corr, n_voxels - full, 1, full, fast_scan,
+            ))
+        mean_corrs = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                      else parts[0])  # (A, V)
     elif len(shapes) == 1:
         tr_idx = jnp.asarray(np.stack([tr for tr, _ in fold_splits]))
         va_idx = jnp.asarray(np.stack([va for _, va in fold_splits]))
@@ -308,22 +323,29 @@ def _fit_and_score(
 
     if not return_weights:
         # Metrics-only: the whole refit+score runs as ONE dispatch
-        # (lax.map over voxel chunks inside jit).
+        # (lax.map over voxel chunks inside jit); the non-divisible tail is
+        # a second small dispatch (padding the big matrices would double
+        # device memory).
         chunk = (voxel_chunk_size if voxel_chunk_size is not None
                  else n_voxels)
-        pad = (-n_voxels) % chunk
         Y_tr = jnp.asarray(Y_train, jnp.float32)
         Y_te = jnp.asarray(Y_test, jnp.float32)
-        nal = nalphas
-        if pad:
-            Y_tr = jnp.pad(Y_tr, ((0, 0), (0, pad)))
-            Y_te = jnp.pad(Y_te, ((0, 0), (0, pad)))
-            nal = jnp.pad(nal, (0, pad), constant_values=1.0)
-        corr, pval = _refit_score_all(svd, Y_tr, Y_te,
-                                      jnp.asarray(X_test, jnp.float32),
-                                      nal, chunk)
-        return (None, np.asarray(corr)[:n_voxels],
-                np.asarray(pval)[:n_voxels])
+        Xte = jnp.asarray(X_test, jnp.float32)
+        full = (n_voxels // chunk) * chunk
+        corr_parts, pval_parts = [], []
+        if full:
+            c, pv = _refit_score_all(svd, Y_tr, Y_te, Xte, nalphas,
+                                     chunk, full // chunk, 0)
+            corr_parts.append(c)
+            pval_parts.append(pv)
+        if n_voxels > full:
+            c, pv = _refit_score_all(svd, Y_tr, Y_te, Xte, nalphas,
+                                     n_voxels - full, 1, full)
+            corr_parts.append(c)
+            pval_parts.append(pv)
+        return (None,
+                np.asarray(jnp.concatenate(corr_parts)),
+                np.asarray(jnp.concatenate(pval_parts)))
 
     # Dispatch every chunk asynchronously; fetch results ONCE at the end
     # (per-chunk np.asarray would serialize on host round trips).
@@ -344,23 +366,25 @@ def _fit_and_score(
     )
 
 
-@partial(jax.jit, static_argnames=("chunk",))
-def _refit_score_all(svd, Y_train, Y_test, X_test, nalphas, chunk: int):
-    """(corr, pval) over all voxel chunks in one XLA program."""
-    tu, v_pad = Y_train.shape
+@partial(jax.jit, static_argnames=("chunk", "n_chunks", "offset"))
+def _refit_score_all(svd, Y_train, Y_test, X_test, nalphas, chunk: int,
+                     n_chunks: int, offset: int = 0):
+    """(corr, pval) for voxels [offset, offset+n_chunks*chunk) in one XLA
+    program (Y passed whole — see _score_all_complement)."""
+    tu = Y_train.shape[0]
     tp = Y_test.shape[0]
-    n_chunks = v_pad // chunk
 
     def body(c):
-        Yc = jax.lax.dynamic_slice(Y_train, (0, c * chunk), (tu, chunk))
-        Ytc = jax.lax.dynamic_slice(Y_test, (0, c * chunk), (tp, chunk))
-        nac = jax.lax.dynamic_slice(nalphas, (c * chunk,), (chunk,))
+        start = offset + c * chunk
+        Yc = jax.lax.dynamic_slice(Y_train, (0, start), (tu, chunk))
+        Ytc = jax.lax.dynamic_slice(Y_test, (0, start), (tp, chunk))
+        nac = jax.lax.dynamic_slice(nalphas, (start,), (chunk,))
         wt = ridge_fit_from_svd(svd, Yc, nac)
         y_pred = predict(X_test, wt)
         return pearson_r_pvalues(Ytc, y_pred)
 
     corr, pval = jax.lax.map(body, jnp.arange(n_chunks))
-    return corr.reshape(v_pad), pval.reshape(v_pad)
+    return corr.reshape(n_chunks * chunk), pval.reshape(n_chunks * chunk)
 
 
 def fit_nested_cv(
