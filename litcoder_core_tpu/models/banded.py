@@ -17,8 +17,10 @@ Everything voxel-axis shardable like the plain solver.
 """
 
 import logging
+from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,6 +53,97 @@ def _scale_bands(Xs: Sequence[np.ndarray], gamma: np.ndarray) -> jnp.ndarray:
         for X, g in zip(Xs, gamma)
     ]
     return jnp.concatenate(parts, axis=1)
+
+
+def _scale_vector(Xs: Sequence, gamma) -> jnp.ndarray:
+    """(D_total,) per-feature sqrt(gamma_band) scaling vector."""
+    return jnp.concatenate([
+        jnp.full(X.shape[1], jnp.sqrt(jnp.float32(g)))
+        for X, g in zip(Xs, gamma)
+    ])
+
+
+def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
+                  use_corr: bool, singcutoff: float, method: str):
+    """(G, A, V) inner-CV scores for every gamma candidate.
+
+    Fast path (equal-shape folds, tall design): the per-fold block Grams and
+    cross-products are computed ONCE on the raw concatenated features; each
+    gamma candidate only rescales them — G_g = s s^T * G and
+    (X_g)^T Y = s * (X^T Y) — so the G x F Gram recomputations and the
+    G-fold duplication of the X^T Y matmuls collapse to scalings. Only the
+    eigensolve remains per (gamma, fold).
+    """
+    from litcoder_core_tpu.models.ridge import score_alpha_grid
+
+    Xc = jnp.concatenate([jnp.asarray(X, jnp.float32) for X in Xs], axis=1)
+    T, D = Xc.shape
+    G_n = gammas.shape[0]
+    alphas_j = jnp.asarray(alphas, jnp.float32)
+
+    shapes = {(len(tr), len(va)) for tr, va in inner_splits}
+    tall = T // max(len(inner_splits), 1) * (len(inner_splits) - 1) >= D
+    if len(shapes) != 1 or method == "svd" or not tall:
+        # Fallback: direct per-(gamma, fold) factorizations.
+        all_scores = []
+        for g_idx in range(G_n):
+            Xg = _scale_bands(Xs, gammas[g_idx])
+            corr_sum = jnp.zeros((len(alphas), Y_j.shape[1]), jnp.float32)
+            for train_idx, val_idx in inner_splits:
+                tr, va = jnp.asarray(train_idx), jnp.asarray(val_idx)
+                svd = ridge_svd(Xg[tr], Xg[va], singcutoff=singcutoff,
+                                method=method)
+                nal = alphas_j * svd.S[0] if normalpha else alphas_j
+                corr_sum = corr_sum + ridge_corr_from_svd(
+                    svd, Y_j[tr], Y_j[va], nal, use_corr=use_corr
+                )
+            all_scores.append(corr_sum / len(inner_splits))
+        return jnp.stack(all_scores)
+
+    tr_idx = jnp.asarray(np.stack([tr for tr, _ in inner_splits]))
+    va_idx = jnp.asarray(np.stack([va for _, va in inner_splits]))
+    scales = jnp.stack([_scale_vector(Xs, g) for g in gammas])  # (G, D)
+    return _score_gammas_fast(
+        Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha, use_corr,
+        singcutoff,
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("normalpha", "use_corr", "singcutoff"))
+def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
+                       normalpha: bool, use_corr: bool, singcutoff: float):
+    """(G, A, V) scores with shared per-fold Grams/cross-products."""
+    from litcoder_core_tpu.models.ridge import score_alpha_grid
+
+    H = jax.lax.Precision.HIGHEST
+
+    def one_fold(tr, va):
+        Xtr, Xva = Xc[tr], Xc[va]
+        G_tr = jnp.dot(Xtr.T, Xtr, precision=H)       # (D, D), gamma-free
+        XtY = jnp.dot(Xtr.T, Y[tr], precision=H)       # (D, V), gamma-free
+        Yva = Y[va]
+
+        def one_gamma(s):
+            Gg = G_tr * (s[:, None] * s[None, :])
+            evals, evecs = jnp.linalg.eigh(Gg)
+            evals = jnp.flip(evals)
+            evecs = jnp.flip(evecs, axis=1)
+            S = jnp.sqrt(jnp.maximum(evals, 0.0))
+            Vh = evecs.T
+            good = S > singcutoff
+            PVh = jnp.dot(Xva * s[None, :], Vh.T, precision=H)
+            inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
+            UR = inv_s[:, None] * jnp.dot(
+                Vh, s[:, None] * XtY, precision=H
+            )
+            nal = alphas * S[0] if normalpha else alphas
+            return score_alpha_grid(S, good, PVh, UR, Yva, nal,
+                                    use_corr=use_corr)
+
+        return jax.lax.map(one_gamma, scales)  # (G, A, V)
+
+    return jax.vmap(one_fold)(tr_idx, va_idx).mean(axis=0)  # (G, A, V)
 
 
 def fit_banded_ridge(
@@ -96,22 +189,11 @@ def fit_banded_ridge(
     )
 
     # --- score every (gamma, alpha) on inner CV ---------------------------
-    # scores[g] has shape (A, V): mean fold correlation.
-    all_scores = []
-    for g_idx in range(gammas.shape[0]):
-        Xg = _scale_bands(Xs, gammas[g_idx])
-        corr_sum = jnp.zeros((len(alphas), V), jnp.float32)
-        for train_idx, val_idx in inner_splits:
-            tr, va = jnp.asarray(train_idx), jnp.asarray(val_idx)
-            svd = ridge_svd(Xg[tr], Xg[va], singcutoff=singcutoff,
-                            method=method)
-            nal = (jnp.asarray(alphas) * svd.S[0] if normalpha
-                   else jnp.asarray(alphas))
-            corr_sum = corr_sum + ridge_corr_from_svd(
-                svd, Y_j[tr], Y_j[va], nal, use_corr=use_corr
-            )
-        all_scores.append(corr_sum / len(inner_splits))
-    scores = jnp.stack(all_scores)  # (G, A, V)
+    # scores has shape (G, A, V): mean fold correlation per gamma candidate.
+    scores = _score_gammas(
+        Xs, Y_j, gammas, inner_splits, np.asarray(alphas), normalpha,
+        use_corr, singcutoff, method,
+    )
 
     # Joint argmax over (gamma, alpha) per voxel.
     flat = scores.reshape(-1, V)  # (G*A, V)

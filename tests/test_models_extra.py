@@ -137,3 +137,30 @@ def test_banded_single_band_reduces_to_ridge():
     assert np.allclose(
         m_banded["median_score"], m_plain["median_score"], atol=5e-3
     )
+
+
+def test_banded_fast_path_matches_fallback():
+    """The scaled-Gram fast path must match direct per-gamma factorization."""
+    from litcoder_core_tpu.models.banded import _score_gammas, sample_gammas
+    import jax.numpy as jnp
+    from litcoder_core_tpu.models.folding import create_folds
+
+    T = 240
+    X1 = rng.normal(size=(T, 6)).astype(np.float32)
+    X2 = rng.normal(size=(T, 5)).astype(np.float32)
+    Y = (X1 @ rng.normal(size=(6, 9)).astype(np.float32)
+         + rng.normal(size=(T, 9))).astype(np.float32)
+    gammas = sample_gammas(2, 4, seed=1)
+    folds = create_folds(T, "chunked", 3, 10, seed=0)
+    alphas = np.logspace(-1, 3, 5).astype(np.float32)
+
+    fast = np.asarray(_score_gammas(
+        [X1, X2], jnp.asarray(Y), gammas, folds, alphas, True, True,
+        1e-10, "eigh",
+    ))
+    slow = np.asarray(_score_gammas(
+        [X1, X2], jnp.asarray(Y), gammas, folds, alphas, True, True,
+        1e-10, "svd",
+    ))
+    assert fast.shape == slow.shape == (4, 5, 9)
+    assert np.allclose(fast, slow, atol=3e-3)
