@@ -49,6 +49,7 @@ def run_layer_sweep(
 
 
 def run_subject_sweep(configs: Sequence[Dict[str, Any]],
+                      checkpoint_dir: Optional[str] = None,
                       ) -> List[Dict[str, Any]]:
     """Run the unified pipeline for a list of CLI-style config dicts.
 
@@ -60,22 +61,51 @@ def run_subject_sweep(configs: Sequence[Dict[str, Any]],
     Each config is what `litcoder_core_tpu.cli.run` accepts (the parsed-args
     dict). Returns one summary row per config; failures are recorded, not
     raised, so a sweep survives individual bad subjects.
+
+    checkpoint_dir enables RESUME: each completed config's summary is
+    written to `<checkpoint_dir>/<hash>.json` and skipped on re-runs — an
+    interrupted sweep continues where it stopped (mid-run checkpointing the
+    reference has none of, SURVEY.md §5.4).
     """
+    import hashlib
+    import json
+    from pathlib import Path
+
     from litcoder_core_tpu.cli import run
+
+    ckpt = Path(checkpoint_dir) if checkpoint_dir else None
+    if ckpt:
+        ckpt.mkdir(parents=True, exist_ok=True)
+
+    def _ckpt_path(config):
+        key = hashlib.md5(
+            json.dumps(config, sort_keys=True, default=str).encode()
+        ).hexdigest()
+        return ckpt / f"{key}.json"
 
     results = []
     for config in configs:
         label = f"{config.get('dataset_type')}/{config.get('subject')}"
+        if ckpt:
+            path = _ckpt_path(config)
+            if path.exists():
+                logger.info("sweep config %s: checkpoint hit, skipping",
+                            label)
+                results.append(json.loads(path.read_text()))
+                continue
         try:
             metrics = run(dict(config))
-            results.append({
+            row = {
                 "config": label,
                 "median_score": float(metrics["median_score"]),
                 "n_significant": int(metrics.get("n_significant", 0)),
                 "error": None,
-            })
+            }
         except Exception as e:  # keep sweeping past bad subjects
             logger.warning("sweep config %s failed: %s", label, e)
-            results.append({"config": label, "median_score": float("nan"),
-                            "n_significant": 0, "error": str(e)})
+            row = {"config": label, "median_score": float("nan"),
+                   "n_significant": 0, "error": str(e)}
+        results.append(row)
+        if ckpt and row["error"] is None:
+            _ckpt_path(config).write_text(json.dumps(row))
     return results

@@ -399,3 +399,37 @@ def test_subject_sweep(assembly, tmp_path):
     rows = run_subject_sweep([base, bad])
     assert rows[0]["error"] is None and rows[0]["median_score"] > 0.2
     assert rows[1]["error"] is not None and np.isnan(rows[1]["median_score"])
+
+
+def test_subject_sweep_resume(assembly, tmp_path):
+    """Interrupted sweeps resume: completed configs are checkpoint-skipped."""
+    from litcoder_core_tpu.assembly.assembly_loader import save_assembly
+    from litcoder_core_tpu.sweeps import run_subject_sweep
+
+    asm_path = str(tmp_path / "asm.pkl")
+    save_assembly(assembly, asm_path)
+    config = dict(
+        dataset_type="lebel", assembly_path=asm_path, data_dir=None,
+        subject="S1", tr=2.0, context_type="fullcontext", use_volume=False,
+        story_idx=None, modalities=["wordrate"], model_names=["wordrate"],
+        layer_idx=9, last_token=False, n_outer_folds=5, n_inner_folds=3,
+        folding_type="chunked", chunk_length=10, singcutoff=1e-10,
+        single_alpha=True, seed=0, downsample_method="lanczos",
+        lanczos_cutoff_mult=1.0, lanczos_window=3, normalize_features=False,
+        normalize_targets=False, ndelays=4, lookback=256,
+        cache_dir=str(tmp_path / "cache"),
+        results_dir=str(tmp_path / "results"), logger_backend="none",
+        train_features_start=5, train_features_end=-5,
+        train_targets_start=5, train_targets_end=-5,
+        test_features_start=5, test_features_end=-5,
+        test_targets_start=5, test_targets_end=-5,
+    )
+    ckpt = str(tmp_path / "sweep_ckpt")
+    r1 = run_subject_sweep([config], checkpoint_dir=ckpt)
+    assert r1[0]["error"] is None
+    n_runs_after_first = len(list((tmp_path / "results").glob("run_*")))
+    # Second invocation: checkpoint hit, no new training run.
+    r2 = run_subject_sweep([config], checkpoint_dir=ckpt)
+    assert r2 == r1
+    assert len(list((tmp_path / "results").glob("run_*"))) == \
+        n_runs_after_first
