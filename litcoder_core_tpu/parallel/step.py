@@ -66,7 +66,10 @@ def nested_cv_step(
         X_test: (Tp, D).  Y_test: (Tp, V).
         alphas: (A,) grid.
         train_idx: (F, Ttr) int per-fold training rows (equal-size folds —
-            chunked folding produces these by construction).
+            chunked folding produces these by construction; on the
+            eigh/auto path each fold's train rows must be the union of all
+            fold rows minus its val rows, which equal_size_folds
+            guarantees).
         val_idx: (F, Tva) int per-fold validation rows.
 
     Returns:
@@ -79,12 +82,48 @@ def nested_cv_step(
     alphas = jnp.asarray(alphas, jnp.float32)
 
     # --- inner CV: vmapped over folds, whole alpha grid on device ---------
-    def one_fold(tr, va):
-        svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff, method=method)
-        nal = alphas * svd.S[0] if normalpha else alphas
-        return ridge_corr_from_svd(svd, Y[tr], Y[va], nal, use_corr=use_corr)
+    if method in ("auto", "eigh") and train_idx.shape[1] >= X.shape[1]:
+        # Complement-Gram formulation (requires the equal_size_folds
+        # structure: each fold's train rows = union of fold rows minus its
+        # val rows): G_tr = G_union - Xva^T Xva and X_tr^T Y = X_u^T Y -
+        # Xva^T Yva — half the Gram/UR matmul rows and no (F, Ttr, .)
+        # gathers.
+        from litcoder_core_tpu.models.ridge import score_alpha_grid
 
-    fold_corrs = jax.vmap(one_fold)(train_idx, val_idx)  # (F, A, V)
+        H = jax.lax.Precision.HIGHEST
+        union = jnp.sort(val_idx.ravel())
+        val_pos = jnp.searchsorted(union, val_idx)  # (F, Tva)
+        Xu = X[union]
+        Yu = Y[union]
+        G_union = jnp.dot(Xu.T, Xu, precision=H)
+        XtY_u = jnp.dot(Xu.T, Yu, precision=H)
+
+        def one_fold(va, vp):
+            Xva = X[va]
+            Yva = Yu[vp]
+            G = G_union - jnp.dot(Xva.T, Xva, precision=H)
+            evals, evecs = jnp.linalg.eigh(G)
+            S = jnp.sqrt(jnp.maximum(jnp.flip(evals), 0.0))
+            Vh = jnp.flip(evecs, axis=1).T
+            good = S > singcutoff
+            PVh = jnp.dot(Xva, Vh.T, precision=H)
+            XtY_tr = XtY_u - jnp.dot(Xva.T, Yva, precision=H)
+            inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
+            UR = inv_s[:, None] * jnp.dot(Vh, XtY_tr, precision=H)
+            nal = alphas * S[0] if normalpha else alphas
+            return score_alpha_grid(S, good, PVh, UR, Yva, nal,
+                                    use_corr=use_corr)
+
+        fold_corrs = jax.vmap(one_fold)(val_idx, val_pos)  # (F, A, V)
+    else:
+        def one_fold(tr, va):
+            svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff,
+                            method=method)
+            nal = alphas * svd.S[0] if normalpha else alphas
+            return ridge_corr_from_svd(svd, Y[tr], Y[va], nal,
+                                       use_corr=use_corr)
+
+        fold_corrs = jax.vmap(one_fold)(train_idx, val_idx)  # (F, A, V)
     mean_corrs = jnp.mean(fold_corrs, axis=0)            # (A, V)
 
     if single_alpha:

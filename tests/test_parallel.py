@@ -162,3 +162,18 @@ def test_fused_step_matches_modular_solver():
     assert np.allclose(np.asarray(res.correlations),
                        metrics["correlations"], atol=1e-4)
     assert np.allclose(np.asarray(res.weights), weights, atol=1e-3)
+
+
+def test_fused_step_complement_branch_matches_svd_branch():
+    """The fused step's complement (eigh/auto) scoring must match its direct
+    svd branch."""
+    X, Y, X_test, Y_test, alphas = _problem(T=240, V=18)
+    train_idx, val_idx = equal_size_folds(X.shape[0], 4, 10, seed=5)
+    res_c = nested_cv_step(X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+                           method="auto")
+    res_s = nested_cv_step(X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+                           method="svd")
+    assert np.array_equal(np.asarray(res_c.best_alphas),
+                          np.asarray(res_s.best_alphas))
+    assert np.allclose(np.asarray(res_c.correlations),
+                       np.asarray(res_s.correlations), atol=2e-3)
