@@ -16,7 +16,15 @@ TPU redesign:
 - pooling (last real token via the attention mask, or masked mean) happens
   on device inside the same jitted program;
 - empty strings produce zero vectors for every layer
-  (language_model.py:133-136, 170-175).
+  (language_model.py:133-136, 170-175);
+- prefix sharing: context windows that are token-prefixes of one another
+  (fullcontext growth before the lookback budget truncates; every
+  nocontext/halfcontext segment) are served from ONE causal forward over the
+  chain-final sequence — position t's hidden state equals the standalone
+  prefix forward, and masked-mean pooling equals the cumulative mean. Exact
+  for decoder-only models (auto-enabled via _CAUSAL_MODEL_TYPES; `prefix_
+  sharing` config key overrides). Turns the reference's O(n_words^2) token
+  work into O(n_tokens) on those spans.
 
 Backends: 'flax' (HF Flax checkpoints — the native path), 'torch' (CPU
 fallback for torch-only checkpoints), 'auto' (flax then torch). Config may
@@ -25,7 +33,7 @@ also inject `model` + `tokenizer` objects directly (tests, custom models).
 
 import logging
 
-from typing import Any, Dict, List, Optional, Union
+from typing import Any, Dict, List, Optional, Tuple, Union
 
 import numpy as np
 
@@ -35,10 +43,50 @@ logger = logging.getLogger(__name__)
 
 _VALID_CONTEXT_TYPES = ["fullcontext", "nocontext", "halfcontext"]
 
+# Decoder-only (strictly causal) model families for which the prefix-sharing
+# fast path is numerically exact: position t's hidden state depends only on
+# tokens[0:t+1].
+_CAUSAL_MODEL_TYPES = {
+    "gpt2", "gptj", "gpt_neo", "gpt_neox", "opt", "bloom", "codegen",
+    "falcon", "llama", "mistral", "mixtral", "gemma", "gemma2", "phi",
+    "phi3", "qwen2", "stablelm", "xglm", "mpt", "pythia",
+}
+
 
 def _pad_to_bucket(n: int, granularity: int = 32, minimum: int = 32) -> int:
     """Round a token length up to a bucket size (limits XLA recompiles)."""
     return max(minimum, ((n + granularity - 1) // granularity) * granularity)
+
+
+def _find_prefix_chains(
+    token_lists: List[List[int]], min_chain: int = 4
+) -> Tuple[List[List[int]], List[int]]:
+    """Split windows (in stimulus order) into prefix chains and singletons.
+
+    A chain is a maximal run i..j where each window's token ids are a prefix
+    of the next window's (the fullcontext growth pattern before the lookback
+    budget truncates, and every nocontext/halfcontext segment —
+    reference base_processor.py:106-217). Chains shorter than `min_chain`
+    are returned as singleton indices (the batched-window path handles them).
+    """
+    chains: List[List[int]] = []
+    singles: List[int] = []
+    i, n = 0, len(token_lists)
+    while i < n:
+        j = i
+        while (
+            j + 1 < n
+            and len(token_lists[j]) <= len(token_lists[j + 1])
+            and token_lists[j + 1][: len(token_lists[j])] == token_lists[j]
+        ):
+            j += 1
+        members = list(range(i, j + 1))
+        if len(members) >= min_chain:
+            chains.append(members)
+        else:
+            singles.extend(members)
+        i = j + 1
+    return chains, singles
 
 
 class LanguageModelFeatureExtractor(BaseFeatureExtractor):
@@ -62,10 +110,14 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         self.backend = config.get("backend", "auto")
         self.batch_size = int(config.get("batch_size", 64))
         self.compute_dtype = config.get("dtype", "float32")
+        # 'auto' | True | False: share one forward across windows that are
+        # token-prefixes of each other (exact for causal decoders).
+        self.prefix_sharing = config.get("prefix_sharing", "auto")
 
         self._model = config.get("model")
         self._tokenizer = config.get("tokenizer")
         self._forward_fn = None
+        self._chain_forward_fn = None
         if self._model is None or self._tokenizer is None:
             self._load_model()
         else:
@@ -168,6 +220,48 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         self._forward_fn = forward
         return forward
 
+    def _flax_chain_forward_fn(self):
+        """Jitted (params, ids, mask, positions) -> (L+1, B, K, D).
+
+        One forward over each chain-final sequence; the pooled feature of the
+        chain member ending at token position p is read off at p:
+        - last-token pooling: hidden_states[:, b, p, :] (causal attention =>
+          identical to running the prefix alone);
+        - mean pooling: cumulative mean over positions 0..p (every prefix
+          token is real by construction, so masked mean == cumsum/(p+1)).
+        `positions` is (B, K) int32, padded by repeating a valid position.
+        """
+        if self._chain_forward_fn is not None:
+            return self._chain_forward_fn
+
+        import jax
+        import jax.numpy as jnp
+
+        model = self._model
+        last_token = self.last_token
+
+        @jax.jit
+        def forward(params, input_ids, attention_mask, positions):
+            out = model(
+                input_ids=input_ids,
+                attention_mask=attention_mask,
+                params=params,
+                output_hidden_states=True,
+                train=False,
+            )
+            hs = jnp.stack(out.hidden_states)  # (L+1, B, T, D)
+            rows = jnp.arange(hs.shape[1])[:, None]  # (B, 1)
+            if last_token:
+                pooled = hs[:, rows, positions, :]  # (L+1, B, K, D)
+            else:
+                csum = jnp.cumsum(hs, axis=2)
+                denom = (positions + 1).astype(hs.dtype)  # (B, K)
+                pooled = csum[:, rows, positions, :] / denom[None, :, :, None]
+            return pooled
+
+        self._chain_forward_fn = forward
+        return forward
+
     def _torch_forward(self, input_ids: np.ndarray,
                        attention_mask: np.ndarray) -> np.ndarray:
         import torch
@@ -191,18 +285,76 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 pooled = num / den
             return pooled.float().cpu().numpy()
 
+    def _prefix_sharing_enabled(self) -> bool:
+        if self.prefix_sharing in (True, False):
+            return bool(self.prefix_sharing)
+        model_type = getattr(self._model.config, "model_type", "")
+        return model_type in _CAUSAL_MODEL_TYPES
+
+    def _run_chain_batches(self, token_lists, chains, pooled_all,
+                           pad_id) -> None:
+        """Prefix-chain fast path: one forward per chain-final sequence.
+
+        Replaces the reference's per-word full-prefix recompute
+        (language_model.py:103-118) with O(total tokens) work: all members
+        of a prefix chain are pooled from a single causal forward. Chains are
+        grouped by padded length and batched; member positions are gathered
+        on device.
+        """
+        batches: Dict[int, List[List[int]]] = {}
+        for chain in chains:
+            bucket = _pad_to_bucket(len(token_lists[chain[-1]]))
+            batches.setdefault(bucket, []).append(chain)
+
+        forward = self._flax_chain_forward_fn()
+        for bucket, group in batches.items():
+            for s in range(0, len(group), self.batch_size):
+                batch = group[s:s + self.batch_size]
+                kmax = _pad_to_bucket(max(len(c) for c in batch),
+                                      granularity=8, minimum=8)
+                b = len(batch)
+                ids = np.full((b, bucket), pad_id, np.int32)
+                mask = np.zeros((b, bucket), np.int32)
+                pos = np.zeros((b, kmax), np.int32)
+                for row, chain in enumerate(batch):
+                    final = token_lists[chain[-1]][:bucket]
+                    ids[row, :len(final)] = final
+                    mask[row, :len(final)] = 1
+                    ends = [min(len(token_lists[j]), bucket) - 1
+                            for j in chain]
+                    pos[row, :len(chain)] = ends
+                    pos[row, len(chain):] = ends[-1]  # padded gathers
+                pooled = np.asarray(
+                    forward(self._model.params, ids, mask, pos), np.float32
+                )  # (L+1, B, K, D)
+                for row, chain in enumerate(batch):
+                    pooled_all[:, chain, :] = pooled[:, row, :len(chain), :]
+
     def _run_batches(self, token_lists: List[List[int]]) -> np.ndarray:
         """Run all nonempty token lists; returns (n_layers+1, N, D)."""
         n = len(token_lists)
-        order = sorted(range(n), key=lambda i: len(token_lists[i]))
         pooled_all = np.zeros(
             (self.n_layers + 1, n, self.d_model), np.float32
         )
         pad_id = (self._tokenizer.pad_token_id
                   or self._tokenizer.eos_token_id or 0)
 
+        singles = list(range(n))
+        if self.backend == "flax" and self._prefix_sharing_enabled():
+            chains, singles = _find_prefix_chains(token_lists)
+            if chains:
+                logger.info(
+                    "prefix sharing: %d windows collapse into %d forwards",
+                    sum(len(c) for c in chains), len(chains),
+                )
+                self._run_chain_batches(token_lists, chains, pooled_all,
+                                        pad_id)
+
+        n_single = len(singles)
+        order = sorted(singles, key=lambda i: len(token_lists[i]))
+
         i = 0
-        while i < n:
+        while i < n_single:
             batch_idx = order[i:i + self.batch_size]
             max_len = max(len(token_lists[j]) for j in batch_idx)
             bucket = _pad_to_bucket(max_len)

@@ -191,6 +191,51 @@ def test_lm_mean_pooling(tiny_lm):
     assert np.isfinite(out[0]).all()
 
 
+def test_find_prefix_chains():
+    from litcoder_core_tpu.features.language_model import _find_prefix_chains
+
+    lists = [
+        [1], [1, 5], [1, 5, 9], [1, 5, 9, 9],        # chain of 4
+        [1, 7],                                       # breaks the chain
+        [1, 8], [1, 8, 2], [1, 8, 2, 3], [1, 8, 2, 3, 4], [1, 8, 2, 3, 4, 5],
+    ]
+    chains, singles = _find_prefix_chains(lists, min_chain=4)
+    assert chains == [[0, 1, 2, 3], [5, 6, 7, 8, 9]]
+    assert singles == [4]
+
+
+@pytest.mark.parametrize("last_token", [True, False])
+def test_lm_prefix_sharing_exactness(tiny_lm, last_token):
+    """The chain fast path must reproduce the per-window forwards exactly
+    (causal model: prefix hidden states are invariant to the suffix)."""
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model, tokenizer = tiny_lm
+    # fullcontext-style growing windows + a truncation break + a second chain
+    words = "the quick brown fox jumps over a lazy dog again and again".split()
+    texts = [" ".join(words[:i + 1]) for i in range(8)]
+    texts += [" ".join(words[3:3 + i + 1]) for i in range(4)]
+
+    def build(prefix_sharing):
+        return LanguageModelFeatureExtractor({
+            "model_name": "tiny-gpt2-random",
+            "model": model,
+            "tokenizer": tokenizer,
+            "last_token": last_token,
+            "prefix_sharing": prefix_sharing,
+            "batch_size": 3,
+        })
+
+    fast = build(True).extract_all_layers(texts)
+    slow = build(False).extract_all_layers(texts)
+    for layer in slow:
+        np.testing.assert_allclose(
+            fast[layer], slow[layer], rtol=0, atol=2e-5
+        )
+
+
 def test_lm_config_validation():
     from litcoder_core_tpu.features.language_model import (
         LanguageModelFeatureExtractor,
