@@ -25,12 +25,13 @@ logger = logging.getLogger(__name__)
 @jax.jit
 def _lstsq_fit(X, y):
     """Least-squares with intercept: returns (coef (D, V), intercept (V,))."""
-    X = jnp.asarray(X, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    x_mean = X.mean(axis=0, keepdims=True)
-    y_mean = y.mean(axis=0, keepdims=True)
-    coef, _, _, _ = jnp.linalg.lstsq(X - x_mean, y - y_mean)
-    intercept = (y_mean - x_mean @ coef).squeeze(0)
+    with jax.default_matmul_precision("highest"):  # CLAUDE.md numerics rule
+        X = jnp.asarray(X, jnp.float32)
+        y = jnp.asarray(y, jnp.float32)
+        x_mean = X.mean(axis=0, keepdims=True)
+        y_mean = y.mean(axis=0, keepdims=True)
+        coef, _, _, _ = jnp.linalg.lstsq(X - x_mean, y - y_mean)
+        intercept = (y_mean - x_mean @ coef).squeeze(0)
     return coef, intercept
 
 
@@ -56,28 +57,28 @@ class LinearPredictivityModel(BasePredictivityModel):
         if groups is None:
             groups = np.zeros(len(features))
         n_splits = max(self.n_folds, 1)
-        if len(np.unique(groups)) < n_splits:
-            # GroupKFold needs >= n_splits groups; degenerate single group ->
-            # fit on everything and score in-sample (reference behavior with
-            # n_folds=1 dummy groups).
+        if n_splits < 2 or len(np.unique(groups)) < n_splits:
+            # GroupKFold needs n_splits >= 2 and >= n_splits groups;
+            # degenerate cases (n_folds=1, single group) -> fit on everything
+            # and score in-sample (reference behavior with dummy groups).
             splits = [(np.arange(len(features)), np.arange(len(features)))]
         else:
             gkf = GroupKFold(n_splits=n_splits)
             splits = list(gkf.split(features, targets, groups=groups))
 
+        features = np.asarray(features)
+        if features.ndim == 1:
+            features = features.reshape(-1, 1)
         for fold_idx, (train_idx, test_idx) in enumerate(splits):
-            X_train = np.atleast_2d(np.asarray(features)[train_idx])
-            X_test = np.atleast_2d(np.asarray(features)[test_idx])
-            if X_train.ndim == 1:
-                X_train = X_train.reshape(-1, 1)
-            if X_test.ndim == 1:
-                X_test = X_test.reshape(-1, 1)
+            X_train = features[train_idx]
+            X_test = features[test_idx]
             y_train = np.asarray(targets)[train_idx]
             y_test = np.asarray(targets)[test_idx]
 
             coef, intercept = _lstsq_fit(X_train, y_train)
             preds = np.asarray(
-                jnp.dot(jnp.asarray(X_test, jnp.float32), coef) + intercept
+                jnp.dot(jnp.asarray(X_test, jnp.float32), coef,
+                        precision=jax.lax.Precision.HIGHEST) + intercept
             )
             fold_scores = np.asarray(pearson_r(y_test, preds))
             median_score = float(np.median(fold_scores))
@@ -101,7 +102,7 @@ class LinearPredictivityModel(BasePredictivityModel):
     def predict(self, features: np.ndarray) -> np.ndarray:
         if self.best_model is None:
             raise ValueError("Model has not been fitted yet")
-        features = np.atleast_2d(np.asarray(features))
+        features = np.asarray(features)
         if features.ndim == 1:
             features = features.reshape(-1, 1)
         coef, intercept = self.best_model

@@ -354,13 +354,11 @@ def _fit_and_score(
         wt = ridge_fit_from_svd(svd, Y_train[:, lo:hi], nalphas[lo:hi])
         y_pred = predict(X_test, wt)
         corr, pval = pearson_r_pvalues(Y_test[:, lo:hi], y_pred)
-        if return_weights:
-            wt_parts.append(wt)
+        wt_parts.append(wt)
         corr_parts.append(corr)
         pval_parts.append(pval)
     return (
-        np.asarray(jnp.concatenate(wt_parts, axis=1))
-        if return_weights else None,
+        np.asarray(jnp.concatenate(wt_parts, axis=1)),
         np.asarray(jnp.concatenate(corr_parts)),
         np.asarray(jnp.concatenate(pval_parts)),
     )
@@ -485,8 +483,9 @@ def fit_nested_cv(
     fold_scores, fold_pvalues, fold_valphas = [], [], []
     fold_significant_masks, fold_weights = [], []
 
+    n_outer = len(outer_splits)  # may differ from n_outer_folds if injected
     for fold_idx, (train_idx, test_idx) in enumerate(outer_splits):
-        logger.info("Processing fold %d/%d", fold_idx + 1, n_outer_folds)
+        logger.info("Processing fold %d/%d", fold_idx + 1, n_outer)
         tr = jnp.asarray(train_idx)
         te = jnp.asarray(test_idx)
         X_train, X_te = features_j[tr], features_j[te]
@@ -522,9 +521,10 @@ def fit_nested_cv(
 
         wt, correlations, pvalues = _fit_and_score(
             X_train, y_train, X_te, y_te, best_valphas, normalpha, singcutoff,
-            voxel_chunk_size, method,
+            voxel_chunk_size, method, return_weights=return_weights,
         )
-        fold_weights.append(wt)
+        if return_weights:
+            fold_weights.append(wt)
         fold_scores.append(correlations)
         fold_pvalues.append(pvalues)
 
@@ -534,7 +534,7 @@ def fit_nested_cv(
         fold_significant_masks.append(significant)
         logger.info(
             "Fold %d/%d - median r: %.3f, significant: %d/%d",
-            fold_idx + 1, n_outer_folds, float(np.median(correlations)),
+            fold_idx + 1, n_outer, float(np.median(correlations)),
             int(np.sum(significant)), len(significant),
         )
 
@@ -548,11 +548,11 @@ def fit_nested_cv(
     n_significant = int(np.sum(significant_mask))
 
     significance_counts = np.sum(fold_significant_masks, axis=0)
-    majority_significant_mask = significance_counts >= (n_outer_folds // 2 + 1)
+    majority_significant_mask = significance_counts >= (n_outer // 2 + 1)
     n_majority_significant = int(np.sum(majority_significant_mask))
 
     mean_valphas = np.mean(fold_valphas, axis=0)
-    mean_weights = np.mean(fold_weights, axis=0)
+    mean_weights = np.mean(fold_weights, axis=0) if return_weights else None
 
     metrics = _create_full_cv_metrics_dict(
         all_correlations, all_pvalues, corrected_pvalues, significant_mask,

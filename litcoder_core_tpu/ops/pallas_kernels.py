@@ -93,7 +93,7 @@ def lanczos_fir_fused(data, data_times, tr_times,
     # Pad every axis to TPU tile granularity (fp32: 8 x 128).
     t_tr_pad = _round_up(t_tr, 8)
     t_w_pad = _round_up(t_w, 128)
-    tile_d = 128 if dim >= 128 else _round_up(dim, 128)
+    tile_d = 128
     dim_pad = _round_up(dim, tile_d)
 
     K_pad = jnp.zeros((t_tr_pad, t_w_pad), jnp.float32).at[:t_tr, :t_w].set(K)
@@ -124,9 +124,55 @@ def lanczos_fir_fused(data, data_times, tr_times,
     return out[:t_tr, :, :dim].reshape(t_tr, n_delays * dim)
 
 
+# The single-block kernel holds K (t_tr_pad x t_w_pad), one data tile, and
+# one output tile in VMEM at once; past this K budget Mosaic would fail to
+# place the blocks (~16 MB VMEM/core on v5e), so larger problems dispatch to
+# the XLA formulation below, which XLA tiles arbitrarily.
+_VMEM_K_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit, static_argnames=("delays", "window", "cutoff_mult")
+)
+def lanczos_fir_xla(data, data_times, tr_times,
+                    delays: Sequence[int] = (1, 2, 3, 4),
+                    window: int = 3, cutoff_mult: float = 1.0):
+    """Same fusion as lanczos_fir_fused in pure XLA: the FIR shift commutes
+    with the interpolation matmul, so each delayed block is (shifted K) @
+    data — one stacked MXU matmul, no intermediate base matrix in HBM."""
+    data = jnp.asarray(data, jnp.float32)
+    t_tr = tr_times.shape[0]
+    K = lanczos_matrix(data_times, tr_times, window, cutoff_mult)
+    rows = jnp.arange(t_tr)
+    blocks = []
+    for d in delays:
+        Kd = jnp.roll(K, d, axis=0) if d else K
+        if d > 0:
+            Kd = jnp.where((rows >= d)[:, None], Kd, 0.0)
+        elif d < 0:
+            Kd = jnp.where((rows < t_tr + d)[:, None], Kd, 0.0)
+        blocks.append(Kd)
+    K_all = jnp.concatenate(blocks, axis=0)  # (n_delays * T_tr, T_w)
+    out = jnp.dot(K_all, data, precision=jax.lax.Precision.HIGHEST)
+    n_delays = len(delays)
+    # (n_delays, T_tr, D) -> (T_tr, n_delays * D) matching hstack-by-delay.
+    return (out.reshape(n_delays, t_tr, data.shape[1])
+            .transpose(1, 0, 2)
+            .reshape(t_tr, n_delays * data.shape[1]))
+
+
 def lanczos_fir(data, data_times, tr_times, delays=(1, 2, 3, 4),
                 window: int = 3, cutoff_mult: float = 1.0):
-    """Dispatch: Pallas on TPU, interpret mode elsewhere."""
+    """Dispatch: Pallas on TPU (interpret mode elsewhere) while the kernel
+    matrix fits the single-block VMEM budget; XLA formulation beyond it."""
+    t_tr_pad = _round_up(int(tr_times.shape[0]), 8)
+    t_w_pad = _round_up(int(jnp.asarray(data).shape[0]), 128)
+    if t_tr_pad * t_w_pad * 4 > _VMEM_K_BUDGET_BYTES:
+        return lanczos_fir_xla(
+            jnp.asarray(data), jnp.asarray(data_times),
+            jnp.asarray(tr_times), delays=tuple(int(d) for d in delays),
+            window=window, cutoff_mult=cutoff_mult,
+        )
     on_tpu = jax.devices()[0].platform == "tpu"
     return lanczos_fir_fused(
         jnp.asarray(data), jnp.asarray(data_times), jnp.asarray(tr_times),

@@ -73,7 +73,7 @@ def pearson_r_pvalues(y_true, y_pred, axis=0):
     return r, pearson_pvalues(r, n)
 
 
-def fisher_combine_pvalues(fold_pvalues, eps: float = 0.0):
+def fisher_combine_pvalues(fold_pvalues):
     """Combine p-values across folds per voxel with Fisher's method.
 
     Args:
@@ -85,8 +85,9 @@ def fisher_combine_pvalues(fold_pvalues, eps: float = 0.0):
     p = jnp.asarray(fold_pvalues, jnp.float32)
     k = p.shape[0]
     # Guard log(0): chi2 stat of p=0 is +inf -> combined p 0, which is correct,
-    # but avoid NaN from 0 * inf paths.
-    logs = jnp.log(jnp.clip(p, 1e-300, 1.0))
+    # but avoid NaN from 0 * inf paths. The floor must be representable in
+    # float32 (1e-300 would underflow to 0 and disable the guard).
+    logs = jnp.log(jnp.clip(p, jnp.finfo(jnp.float32).tiny, 1.0))
     stat = -2.0 * jnp.sum(logs, axis=0)
     combined = gammaincc(float(k), stat / 2.0)
     all_ones = jnp.all(p >= 1.0, axis=0)
@@ -163,7 +164,7 @@ def permutation_pvalues(y_true, y_pred, key, n_permutations: int = 1000,
     return p, obs
 
 
-def signed_square_corr(y_true, y_pred, axis=0, eps: float = 0.0):
+def signed_square_corr(y_true, y_pred, axis=0):
     """Signed-sqrt R^2 metric (use_corr=False path), matching
     encoding/models/ridge_regression.py:127-130 with torch-unbiased variance."""
     y_true = jnp.asarray(y_true, jnp.float32)

@@ -16,6 +16,6 @@ from litcoder_core_tpu.parallel.step import (
 )
 
 __all__ = [
-    "make_mesh", "shard_voxels", "VOX_AXIS",
+    "make_mesh", "shard_voxels", "replicate", "VOX_AXIS",
     "make_nested_cv_step", "nested_cv_step", "pad_voxels",
 ]

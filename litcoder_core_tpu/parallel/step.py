@@ -48,11 +48,25 @@ def pad_voxels(Y, n_devices: int):
     return Y, v
 
 
-@partial(
-    jax.jit,
-    static_argnames=("normalpha", "use_corr", "single_alpha", "singcutoff",
-                     "method"),
-)
+def _folds_are_complementary(train_idx, val_idx) -> bool:
+    """True iff every fold's train rows are exactly (union of all val rows)
+    minus its own val rows, with no duplicate val rows — the structure the
+    complement-Gram fast path assumes (equal_size_folds guarantees it;
+    trimmed/injected folds may not)."""
+    import numpy as np
+
+    train_idx = np.asarray(train_idx)
+    val_idx = np.asarray(val_idx)
+    union = np.sort(val_idx.ravel())
+    if len(np.unique(union)) != union.size:
+        return False
+    for f in range(val_idx.shape[0]):
+        both = np.sort(np.concatenate([train_idx[f], val_idx[f]]))
+        if both.size != union.size or not np.array_equal(both, union):
+            return False
+    return True
+
+
 def nested_cv_step(
     X, Y, X_test, Y_test, alphas, train_idx, val_idx,
     normalpha: bool = True, use_corr: bool = True,
@@ -66,15 +80,40 @@ def nested_cv_step(
         X_test: (Tp, D).  Y_test: (Tp, V).
         alphas: (A,) grid.
         train_idx: (F, Ttr) int per-fold training rows (equal-size folds —
-            chunked folding produces these by construction; on the
-            eigh/auto path each fold's train rows must be the union of all
-            fold rows minus its val rows, which equal_size_folds
-            guarantees).
+            chunked folding produces these by construction).
         val_idx: (F, Tva) int per-fold validation rows.
+
+    The complement-Gram fast path additionally requires each fold's train
+    rows to be the union of all folds' val rows minus its own val rows
+    (equal_size_folds guarantees this). That structure is VALIDATED here on
+    concrete index arrays; folds that break it (e.g. trimmed folds, where
+    train rows include rows absent from every val set) fall back to the
+    direct per-fold spectral path, which is correct for arbitrary folds.
 
     Returns:
         NestedCVResult(correlations, pvalues, best_alphas, weights).
     """
+    complement = (method in ("auto", "eigh")
+                  and train_idx.shape[1] >= X.shape[1])
+    if complement and not isinstance(train_idx, jax.core.Tracer):
+        complement = _folds_are_complementary(train_idx, val_idx)
+    return _nested_cv_step_impl(
+        X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+        normalpha=normalpha, use_corr=use_corr, single_alpha=single_alpha,
+        singcutoff=singcutoff, method=method, complement=complement,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("normalpha", "use_corr", "single_alpha", "singcutoff",
+                     "method", "complement"),
+)
+def _nested_cv_step_impl(
+    X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+    normalpha: bool, use_corr: bool, single_alpha: bool, singcutoff: float,
+    method: str, complement: bool,
+) -> NestedCVResult:
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     X_test = jnp.asarray(X_test, jnp.float32)
@@ -82,7 +121,7 @@ def nested_cv_step(
     alphas = jnp.asarray(alphas, jnp.float32)
 
     # --- inner CV: vmapped over folds, whole alpha grid on device ---------
-    if method in ("auto", "eigh") and train_idx.shape[1] >= X.shape[1]:
+    if complement:
         # Complement-Gram formulation (requires the equal_size_folds
         # structure: each fold's train rows = union of fold rows minus its
         # val rows): G_tr = G_union - Xva^T Xva and X_tr^T Y = X_u^T Y -
@@ -145,11 +184,29 @@ def nested_cv_step(
 def make_nested_cv_step(mesh=None, **static_kwargs):
     """Bind static options (and optionally a mesh) into a callable step.
 
-    With a mesh, voxel-axis inputs should be placed with
-    parallel.mesh.shard_voxels; jit propagates the shardings through the
-    program (zero-collective solve).
+    With a mesh, the returned step places its inputs before running: Y /
+    Y_test shard over the voxel axis (which must be divisible by the mesh
+    size — use pad_voxels first), everything else replicates. jit then
+    propagates the shardings through the program (zero-collective solve).
+    Without a mesh, inputs run wherever the caller placed them.
     """
     def step(X, Y, X_test, Y_test, alphas, train_idx, val_idx):
+        if mesh is not None:
+            from litcoder_core_tpu.parallel.mesh import (
+                replicate,
+                shard_voxels,
+            )
+
+            n = mesh.devices.size
+            if Y.shape[-1] % n:
+                raise ValueError(
+                    f"voxel axis ({Y.shape[-1]}) not divisible by mesh size "
+                    f"({n}); pad with parallel.step.pad_voxels first"
+                )
+            Y = shard_voxels(Y, mesh)
+            Y_test = shard_voxels(Y_test, mesh)
+            X = replicate(X, mesh)
+            X_test = replicate(X_test, mesh)
         return nested_cv_step(
             X, Y, X_test, Y_test, alphas, train_idx, val_idx, **static_kwargs
         )

@@ -164,3 +164,26 @@ def test_banded_fast_path_matches_fallback():
     ))
     assert fast.shape == slow.shape == (4, 5, 9)
     assert np.allclose(fast, slow, atol=3e-3)
+
+
+def test_linear_model_default_single_fold():
+    """n_folds=1 (the config default) must fit in-sample, not crash in
+    GroupKFold (regression: sklearn rejects n_splits=1)."""
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(40, 3)).astype(np.float32)
+    Y = X @ rng.normal(size=(3, 5)).astype(np.float32)
+    model = LinearPredictivityModel({})
+    metrics = model.fit(X, Y)
+    assert metrics["median_score"] > 0.99
+
+
+def test_linear_model_1d_features():
+    """1-D feature input is a single regressor column, not a row vector."""
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=60).astype(np.float32)
+    Y = np.outer(x, [1.0, -2.0]) + 0.01 * rng.normal(size=(60, 2))
+    model = LinearPredictivityModel({"n_folds": 1})
+    metrics = model.fit(x, Y.astype(np.float32))
+    assert metrics["median_score"] > 0.9
+    preds = model.predict(x)
+    assert preds.shape == (60, 2)

@@ -46,3 +46,30 @@ def test_fused_wide_features():
     ))
     assert fused.shape == (49, 600)
     assert np.allclose(fused, ref, atol=1e-4)
+
+
+def test_xla_formulation_matches_fused():
+    from litcoder_core_tpu.ops.pallas_kernels import lanczos_fir_xla
+
+    rng = np.random.default_rng(3)
+    data = rng.normal(size=(90, 7)).astype(np.float32)
+    dt = np.sort(rng.uniform(0, 60, 90)).astype(np.float32)
+    tt = (np.arange(25, dtype=np.float32)) * 2.4 + 1.0
+    ours = np.asarray(lanczos_fir_xla(data, dt, tt, delays=(0, 1, 2, -1)))
+    two_stage = make_delayed(
+        lanczosinterp2D(data, dt, tt), [0, 1, 2, -1]
+    )
+    np.testing.assert_allclose(ours, two_stage, atol=1e-5)
+
+
+def test_dispatch_large_shapes_use_xla_path():
+    """Shapes whose kernel matrix exceeds the single-block VMEM budget must
+    still produce correct output (dispatched to the XLA formulation)."""
+    rng = np.random.default_rng(4)
+    t_w, t_tr = 4600, 512   # K_pad ~ 9.4 MB > 8 MB budget
+    data = rng.normal(size=(t_w, 3)).astype(np.float32)
+    dt = np.sort(rng.uniform(0, 1000, t_w)).astype(np.float32)
+    tt = (np.arange(t_tr, dtype=np.float32)) * (1000.0 / t_tr)
+    out = np.asarray(lanczos_fir(data, dt, tt, delays=(1, 2)))
+    two_stage = make_delayed(lanczosinterp2D(data, dt, tt), [1, 2])
+    np.testing.assert_allclose(out, np.asarray(two_stage), atol=1e-4)

@@ -9,6 +9,7 @@ from litcoder_core_tpu.models.ridge import ridge_corr, ridge_fit
 from litcoder_core_tpu.parallel.mesh import make_mesh, replicate, shard_voxels
 from litcoder_core_tpu.parallel.step import (
     equal_size_folds,
+    make_nested_cv_step,
     nested_cv_step,
     pad_voxels,
 )
@@ -177,3 +178,56 @@ def test_fused_step_complement_branch_matches_svd_branch():
                           np.asarray(res_s.best_alphas))
     assert np.allclose(np.asarray(res_c.correlations),
                        np.asarray(res_s.correlations), atol=2e-3)
+
+
+def test_step_noncomplementary_folds_fall_back():
+    """Trimmed-style folds (train rows outside the val union) must NOT go
+    through the complement-Gram path — auto must match the direct svd path."""
+    rng = np.random.default_rng(7)
+    T, D, V, A, F = 128, 8, 6, 4, 2
+    X = rng.normal(size=(T, D)).astype(np.float32)
+    wt = rng.normal(size=(D, V)).astype(np.float32)
+    Y = (X @ wt + rng.normal(size=(T, V))).astype(np.float32)
+    X_test = rng.normal(size=(32, D)).astype(np.float32)
+    Y_test = (X_test @ wt).astype(np.float32)
+    alphas = np.logspace(-1, 3, A).astype(np.float32)
+
+    # Both folds train on rows 0:96 entirely; val rows are disjoint slices of
+    # the tail. Train rows 0:96 are in NO val set -> union-complement would
+    # be wrong.
+    train_idx = np.stack([np.arange(96), np.arange(96)]).astype(np.int32)
+    val_idx = np.stack([np.arange(96, 112), np.arange(112, 128)]).astype(
+        np.int32
+    )
+
+    auto = nested_cv_step(X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+                          method="auto")
+    svd = nested_cv_step(X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+                         method="svd")
+    np.testing.assert_allclose(
+        np.asarray(auto.best_alphas), np.asarray(svd.best_alphas)
+    )
+    np.testing.assert_allclose(
+        np.asarray(auto.correlations), np.asarray(svd.correlations),
+        atol=1e-5,
+    )
+
+
+def test_make_step_with_mesh_places_inputs():
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(1)
+    T, D, V = 128, 8, 16
+    X = rng.normal(size=(T, D)).astype(np.float32)
+    Y = rng.normal(size=(T, V)).astype(np.float32)
+    X_test = rng.normal(size=(32, D)).astype(np.float32)
+    Y_test = rng.normal(size=(32, V)).astype(np.float32)
+    alphas = np.logspace(-1, 3, 3).astype(np.float32)
+    train_idx, val_idx = equal_size_folds(T, 2, 8, seed=0)
+
+    step = make_nested_cv_step(mesh=mesh)
+    out = step(X, Y, X_test, Y_test, alphas, train_idx, val_idx)
+    assert len(out.correlations.sharding.device_set) == 8
+
+    bad = np.zeros((T, V + 1), np.float32)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(X, bad, X_test, Y_test, alphas, train_idx, val_idx)

@@ -140,3 +140,16 @@ def test_permutation_pvalues_two_sided():
     # One-sided on r: anticorrelation is NOT significant; two-sided: it is.
     assert np.all(np.asarray(p1) > 0.5)
     assert np.all(np.asarray(p2) <= 2 / 101)
+
+
+def test_fisher_zero_pvalue_guard():
+    """p==0 folds must combine to 0 without NaN/inf poisoning (the log floor
+    must be representable in float32)."""
+    from litcoder_core_tpu.ops.stats import fisher_combine_pvalues
+
+    p = np.array([[0.0, 0.5, 1.0], [0.3, 0.5, 1.0]], np.float32)
+    out = np.asarray(fisher_combine_pvalues(p))
+    assert np.isfinite(out).all()
+    assert out[0] < 1e-30         # a p=0 fold dominates (floored, not NaN)
+    assert 0 < out[1] < 1
+    assert out[2] == 1.0          # all-ones special case
