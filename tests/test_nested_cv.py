@@ -179,3 +179,31 @@ def test_fast_scan_selects_same_alphas():
     # for the logspace grid. Allow a tiny number of tie flips.
     assert np.mean(a1 == a2) > 0.9
     assert abs(m1["median_score"] - m2["median_score"]) < 5e-3
+
+
+def test_constant_voxel_targets_no_nans():
+    """A zero-variance voxel must yield r=0, p=1 and never NaN
+    (reference nan policy: nested_cv.py:433-437 via np.nan_to_num)."""
+    import numpy as np
+
+    from litcoder_core_tpu.models.nested_cv import fit_nested_cv
+
+    rng = np.random.default_rng(0)
+    T, D, V = 160, 5, 8
+    X = rng.normal(size=(T, D)).astype(np.float32)
+    Y = (X @ rng.normal(size=(D, V)) + rng.normal(size=(T, V))).astype(
+        np.float32
+    )
+    Y[:, 3] = 2.5  # constant voxel
+    Xte = rng.normal(size=(40, D)).astype(np.float32)
+    Yte = (Xte @ rng.normal(size=(D, V))).astype(np.float32)
+    Yte[:, 3] = 2.5
+
+    m, w, a = fit_nested_cv(X, Y, X_test=Xte, y_test=Yte, chunk_length=10,
+                            n_inner_folds=3)
+    corr = np.asarray(m["correlations"])
+    pv = np.asarray(m["p_values"])
+    assert np.isfinite(corr).all() and np.isfinite(pv).all()
+    assert corr[3] == 0.0
+    assert pv[3] == 1.0
+    assert np.isfinite(np.asarray(w)).all()
