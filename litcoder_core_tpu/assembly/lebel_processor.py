@@ -32,7 +32,8 @@ class LebelAssemblyGenerator(BaseAssemblyGenerator):
         super().__init__(data_dir, dataset_type, tr, use_volume, mask_path,
                          analysis_mask_path, tokenizer)
         self.stories = list(LEBEL_STORIES)
-        self._resp_dict = None  # loaded once, reused across stories
+        self._resp_dict = None  # loaded once per subject, reused for stories
+        self._resp_subject = None
 
     def generate_assembly(self, subject: str, lookback: int = 256,
                           context_type: str = "fullcontext",
@@ -56,12 +57,16 @@ class LebelAssemblyGenerator(BaseAssemblyGenerator):
         return []
 
     def _load_responses(self, subject: str):
-        if self._resp_dict is None:
+        # Cache keyed BY SUBJECT: one generator may serve several subjects
+        # (sweeps), and serving a stale subject's responses would corrupt
+        # every later assembly silently.
+        if self._resp_dict is None or self._resp_subject != subject:
             suffix = "" if self.use_volume else "_surface"
             path = (self.data_dir /
                     f"noslice_sub-{subject}_story_data{suffix}.pkl")
             with open(path, "rb") as f:
                 self._resp_dict = pickle.load(f)
+            self._resp_subject = subject
         return self._resp_dict
 
     def _process_single_story(self, subject: str, story_name: str,

@@ -67,6 +67,12 @@ class SimpleKeyedVectors:
                     word = bytearray()
                     while True:
                         ch = f.read(1)
+                        if ch == b"":
+                            raise ValueError(
+                                f"truncated word2vec binary file: header "
+                                f"declares {vocab_size} vectors but EOF hit "
+                                f"at vector {i}"
+                            )
                         if ch == b" ":
                             break
                         if ch != b"\n":

@@ -121,7 +121,10 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         if self._model is None or self._tokenizer is None:
             self._load_model()
         else:
-            self.backend = config.get("backend", "flax")
+            # Injected models default to the flax path ('auto' is a loading
+            # policy, not a runnable backend — cf. speech_model.py).
+            backend = config.get("backend", "flax")
+            self.backend = "flax" if backend == "auto" else backend
         self._configure_dims()
 
     # ------------------------------------------------------------------ setup
@@ -168,10 +171,16 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
     # --------------------------------------------------------------- tokenize
 
     def _encode(self, text: str) -> List[int]:
-        ids = self._tokenizer.encode(text)
+        try:
+            # No auto-added specials: tokenizers that add their own BOS/EOS
+            # (llama etc.) would otherwise double the BOS below or make
+            # last-token pooling read an EOS state.
+            ids = self._tokenizer.encode(text, add_special_tokens=False)
+        except TypeError:  # plain callables / stub tokenizers
+            ids = self._tokenizer.encode(text)
         bos = self._tokenizer.bos_token_id
         # TransformerLens prepend_bos=True parity (language_model.py:140-141):
-        # every sequence starts with BOS.
+        # every sequence starts with exactly one BOS.
         if bos is not None:
             ids = [bos] + ids
         return ids
@@ -412,6 +421,7 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         (reference: language_model.py:49-81)."""
         if layer_idx is None:
             layer_idx = self.layer_idx
+        layer_idx = self._resolve_layer(layer_idx)
         if isinstance(stimuli, str):
             stimuli = [stimuli]
         n = len(stimuli)
@@ -423,6 +433,20 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
             pooled = self._run_batches(token_lists)
             out[nonempty] = pooled[layer_idx + hs_offset]
         return out
+
+    def _resolve_layer(self, layer_idx: int) -> int:
+        """Normalize a block index to [0, n_layers): negatives count from the
+        end like Python indexing (-1 = last block). Out-of-range raises —
+        the reference fails loudly too ('blocks.{i}.hook_resid_pre' KeyError,
+        language_model.py:145); silently indexing hidden_states with a
+        negative would return a DIFFERENT representation (e.g. ln_f output)."""
+        resolved = layer_idx + self.n_layers if layer_idx < 0 else layer_idx
+        if not 0 <= resolved < self.n_layers:
+            raise ValueError(
+                f"layer_idx {layer_idx} out of range for a "
+                f"{self.n_layers}-block model"
+            )
+        return resolved
 
     # ------------------------------------------------------------- validation
 

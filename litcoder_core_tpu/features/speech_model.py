@@ -172,10 +172,15 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         if total < context:
             return np.empty((0, 0), np.float32), np.array([])
         n_chunks = (total - context) // chunk + 1
-        idx = (np.arange(n_chunks)[:, None] * chunk
-               + np.arange(context)[None, :])
+        # True strided view: O(1) memory for the full window set (a fancy-
+        # index gather would materialize n_chunks x context floats — ~6 GB
+        # for 10 min of 16 kHz audio at 0.1 s stride). Batches are copied
+        # lazily by the HF feature extractor per forward.
+        windows = np.lib.stride_tricks.sliding_window_view(
+            wav, context
+        )[::chunk][:n_chunks]
         times = (context + np.arange(n_chunks) * chunk) / self.target_sample_rate
-        return wav[idx], times
+        return windows, times
 
     # ---------------------------------------------------------------- forward
 

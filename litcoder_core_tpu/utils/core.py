@@ -20,9 +20,12 @@ dm = demean
 
 def zscore(v: np.ndarray) -> np.ndarray:
     """Z-scores each column of [v]; zero-variance columns are left demeaned
-    (reference encoding/utils.py:23-29 skips dividing when std == 0)."""
+    (reference encoding/utils.py:23-29 skips dividing when std == 0).
+    Accepts 1-D vectors like the reference's zs lambda."""
     s = v.std(0)
     m = v - v.mean(0)
+    if m.ndim == 1:
+        return m / s if s != 0.0 else m
     nonzero = s != 0.0
     m[:, nonzero] /= s[nonzero]
     return m

@@ -83,7 +83,9 @@ class ModelSaver:
                     metrics = pickle.load(f)
                 runs.append({
                     "run_dir": str(run_dir),
-                    "timestamp": run_dir.name.split("_")[1],
+                    # run_{%Y%m%d}_{%H%M%S}_{hash}: keep date AND time so
+                    # same-day runs sort chronologically.
+                    "timestamp": "_".join(run_dir.name.split("_")[1:3]),
                     "hyperparams": hyperparams,
                     "metrics": metrics,
                 })

@@ -292,3 +292,25 @@ def test_cli_end_to_end_with_prepackaged_assembly(tmp_path):
     from litcoder_core_tpu.cli import DATASET_CONFIGS
 
     assert DATASET_CONFIGS["lebel"]["trimming"]["train_features_start"] == 10
+
+
+def test_lebel_multi_subject_cache_not_stale(lebel_dir):
+    """One generator serving two subjects must reload per subject
+    (regression: the response cache was not subject-keyed)."""
+    data_dir, stories = lebel_dir
+    responses2 = {s: rng.normal(size=(12, 7)).astype(np.float32)
+                  for s in stories}
+    with open(data_dir / "noslice_sub-UTS99_story_data.pkl", "wb") as f:
+        pickle.dump(responses2, f)
+
+    gen = LebelAssemblyGenerator(
+        data_dir=str(data_dir), dataset_type="lebel", tr=2.0,
+        use_volume=True, tokenizer=WordTokenizer(),
+    )
+    gen.stories = stories
+    a1 = gen.generate_assembly("UTS03", lookback=5)
+    a2 = gen.generate_assembly("UTS99", lookback=5)
+    b1 = a1.story_data[stories[0]].brain_data
+    b2 = a2.story_data[stories[0]].brain_data
+    assert not np.allclose(b1, b2)
+    assert np.allclose(b2, responses2[stories[0]])

@@ -123,3 +123,23 @@ def test_model_saver_weights_optional(tmp_path):
     )
     w, a, hp, m = saver.load_encoding_model(run_dir)
     assert w is None and a is not None
+
+
+def test_list_runs_sorts_same_day_by_time(tmp_path):
+    """Timestamps keep the HHMMSS part so same-day runs sort (regression)."""
+    import json
+    import pickle
+
+    from litcoder_core_tpu.utils.saver import ModelSaver
+
+    saver = ModelSaver(base_dir=str(tmp_path))
+    for t in ["20260816_090000", "20260816_110000", "20260816_100000"]:
+        d = tmp_path / f"run_{t}_abcd1234"
+        d.mkdir()
+        (d / "hyperparams.json").write_text(json.dumps({"t": t}))
+        with open(d / "metrics.pkl", "wb") as f:
+            pickle.dump({}, f)
+    runs = saver.list_runs()
+    assert [r["timestamp"] for r in runs] == [
+        "20260816_110000", "20260816_100000", "20260816_090000"
+    ]

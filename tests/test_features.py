@@ -271,3 +271,70 @@ def test_factory_register_custom():
         assert isinstance(ex, MyExtractor)
     finally:
         del FeatureExtractorFactory._extractors["my_custom"]
+
+
+class SpecialsAddingTokenizer(StubTokenizer):
+    """Tokenizer that injects BOS/EOS unless add_special_tokens=False
+    (llama-style) — the extractor must suppress that."""
+
+    def encode(self, text, add_special_tokens=True):
+        ids = [3 + (hash(w) % 500) for w in text.split()]
+        if add_special_tokens:
+            return [self.bos_token_id] + ids + [self.eos_token_id]
+        return ids
+
+
+def test_lm_encode_suppresses_auto_specials(tiny_lm):
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model, _ = tiny_lm
+    ex = LanguageModelFeatureExtractor({
+        "model_name": "tiny", "model": model,
+        "tokenizer": SpecialsAddingTokenizer(),
+    })
+    ids = ex._encode("hello world")
+    assert ids[0] == 1                    # exactly one BOS
+    assert ids.count(1) == 1
+    assert 2 not in ids                   # no EOS appended
+
+
+def test_lm_negative_layer_idx(lm_extractor):
+    """-1 = last block (Python indexing); out-of-range raises loudly."""
+    texts = ["hello there world"]
+    all_layers = lm_extractor.extract_all_layers(texts)
+    last = lm_extractor.extract_features(texts, layer_idx=-1)
+    np.testing.assert_allclose(last, all_layers[2], atol=1e-6)
+    with pytest.raises(ValueError, match="out of range"):
+        lm_extractor.extract_features(texts, layer_idx=7)
+
+
+def test_lm_injected_model_backend_auto(tiny_lm):
+    """backend='auto' with an injected flax model must use the flax path."""
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model, tokenizer = tiny_lm
+    ex = LanguageModelFeatureExtractor({
+        "model_name": "tiny", "model": model, "tokenizer": tokenizer,
+        "backend": "auto",
+    })
+    assert ex.backend == "flax"
+    out = ex.extract_features(["hello world"], layer_idx=0)
+    assert np.isfinite(out).all()
+
+
+def test_embeddings_truncated_binary_raises(tmp_path):
+    import struct
+
+    from litcoder_core_tpu.features.embeddings import SimpleKeyedVectors
+
+    path = tmp_path / "trunc.bin"
+    with open(path, "wb") as f:
+        f.write(b"5 4\n")                       # declares 5 vectors
+        f.write(b"only ")                       # ... provides one
+        f.write(struct.pack("<4f", 1, 2, 3, 4))
+    with pytest.raises(ValueError, match="truncated"):
+        SimpleKeyedVectors.load_word2vec_format(str(path), binary=True)

@@ -149,3 +149,20 @@ def test_factory_speech_caching(tiny_speech_model, wav_file, tmp_path):
     assert len(list(tmp_path.glob("*.npz"))) == 1  # cache hit
     assert np.allclose(feats1, feats2)
     assert np.allclose(times1, times2)
+
+
+def test_windows_are_strided_views():
+    """Window extraction must not materialize n_chunks x context floats
+    (regression: fancy-index gather -> GBs for long audio)."""
+    ex = object.__new__(SpeechFeatureExtractor)
+    ex.chunk_size = 0.5
+    ex.context_size = 2.0
+    ex.target_sample_rate = 100
+    wav = np.arange(1000, dtype=np.float32)
+    windows, times = SpeechFeatureExtractor._windows(ex, wav)
+    assert windows.base is not None            # a view, not a copy
+    n = (1000 - 200) // 50 + 1
+    assert windows.shape == (n, 200)
+    np.testing.assert_array_equal(windows[0], wav[:200])
+    np.testing.assert_array_equal(windows[1], wav[50:250])
+    np.testing.assert_allclose(times[0], 2.0)

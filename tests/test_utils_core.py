@@ -60,3 +60,16 @@ def test_stage_timer():
     totals = timer.report()
     assert set(totals) == {"a", "b"}
     assert totals["a"] >= 0.01
+
+
+def test_zscore_1d_vector():
+    """1-D input works like the reference's zs lambda (regression)."""
+    from litcoder_core_tpu.utils.core import zs
+
+    v = np.array([1.0, 2.0, 3.0, 4.0])
+    out = zs(v)
+    assert out.shape == (4,)
+    np.testing.assert_allclose(out.mean(), 0.0, atol=1e-12)
+    np.testing.assert_allclose(out.std(), 1.0, atol=1e-12)
+    const = zs(np.full(5, 3.0))
+    np.testing.assert_allclose(const, 0.0)  # zero-variance -> demeaned
