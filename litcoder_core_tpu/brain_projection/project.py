@@ -48,14 +48,15 @@ class SurfaceProcessor(BaseBrainDataProcessor):
 
     def __init__(self, mesh: str = "fsaverage5"):
         try:
+            import nibabel as nib
             from nilearn import datasets, surface
         except ImportError as e:
             raise ImportError(
-                "nilearn is required for surface projection. "
-                "Install with: pip install nilearn"
+                "nilearn and nibabel are required for surface projection. "
+                "Install with: pip install nilearn nibabel"
             ) from e
         self._surface = surface
-        self._nib = __import__("nibabel")
+        self._nib = nib
         self.fsaverage = datasets.fetch_surf_fsaverage(mesh=mesh)
         self.mesh_left = surface.load_surf_mesh(self.fsaverage["pial_left"])
         self.mesh_right = surface.load_surf_mesh(self.fsaverage["pial_right"])

@@ -148,9 +148,14 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     story_selection = None
     if config["dataset_type"] == "lpp" and config.get("story_idx"):
         story_selection = config["story_idx"]  # 1-based single story
+    elif config.get("story_order"):
+        # Explicit story processing/concatenation order
+        # (reference unified.py:308-311).
+        story_selection = list(config["story_order"])
 
+    subject_label = config.get("subject") or "prepkg"
     run_name = (
-        f"{config['dataset_type']}-{config.get('subject', 'prepkg')}-"
+        f"{config['dataset_type']}-{subject_label}-"
         f"{datetime.now().strftime('%Y%m%d-%H%M%S')}"
     )
     trainer = AbstractTrainer(

@@ -28,11 +28,19 @@ def run_layer_sweep(
         List of {"layer", "median_score", "mean_score", "n_significant"}
         sorted by layer order given.
     """
+    layers = list(layers)
+    if not layers:
+        raise ValueError("run_layer_sweep: `layers` is empty")
     train_kwargs = train_kwargs or {}
     results = []
     for layer in layers:
         trainer = make_trainer(layer)
-        metrics = trainer.train(**train_kwargs)
+        try:
+            metrics = trainer.train(**train_kwargs)
+        finally:
+            closer = getattr(trainer.experiment_logger, "close", None)
+            if closer:  # one SummaryWriter per layer would otherwise leak
+                closer()
         row = {
             "layer": int(layer),
             "median_score": float(metrics["median_score"]),

@@ -314,3 +314,38 @@ def test_lebel_multi_subject_cache_not_stale(lebel_dir):
     b2 = a2.story_data[stories[0]].brain_data
     assert not np.allclose(b1, b2)
     assert np.allclose(b2, responses2[stories[0]])
+
+
+def test_surface_cache_corrupt_entry_recovers(tmp_path):
+    """A truncated .npy entry (killed mid-save) must be treated as a miss
+    and deleted, not crash every rerun (regression)."""
+    from litcoder_core_tpu.brain_projection.simple_cache import (
+        SimpleSurfaceCache,
+    )
+
+    cache = SimpleSurfaceCache(str(tmp_path / "cache"))
+    vol = tmp_path / "vol.nii.gz"
+    vol.write_bytes(b"x")
+    data = rng.normal(size=(3, 4)).astype(np.float32)
+    cache.set("s1", str(vol), data)
+    np.testing.assert_allclose(cache.get("s1", str(vol)), data)
+
+    # Corrupt the entry in place.
+    entry = next((tmp_path / "cache").glob("*.npy"))
+    entry.write_bytes(b"not a npy file")
+    assert cache.get("s1", str(vol)) is None     # miss, not crash
+    assert not entry.exists()                    # corrupt file removed
+
+
+def test_surface_cache_singleton_redirect(tmp_path):
+    from litcoder_core_tpu.brain_projection import simple_cache
+
+    simple_cache._GLOBAL_CACHE = None
+    try:
+        a = simple_cache.get_surface_cache(str(tmp_path / "a"))
+        assert simple_cache.get_surface_cache() is a       # None keeps it
+        b = simple_cache.get_surface_cache(str(tmp_path / "b"))
+        assert b is not a
+        assert str(b.cache_dir) == str(tmp_path / "b")
+    finally:
+        simple_cache._GLOBAL_CACHE = None
