@@ -177,19 +177,24 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         downsample_config=downsample_config,
         story_selection=story_selection,
     )
-    metrics = trainer.train(
-        folding_type=config["folding_type"],
-        n_outer_folds=config["n_outer_folds"],
-        n_inner_folds=config["n_inner_folds"],
-        chunk_length=config["chunk_length"],
-        singcutoff=config["singcutoff"],
-        single_alpha=config.get("single_alpha", True),
-        normalpha=True,
-        use_corr=True,
-        normalize_features=config["normalize_features"],
-        normalize_targets=config["normalize_targets"],
-        seed=config.get("seed", 0),
-    )
+    try:
+        metrics = trainer.train(
+            folding_type=config["folding_type"],
+            n_outer_folds=config["n_outer_folds"],
+            n_inner_folds=config["n_inner_folds"],
+            chunk_length=config["chunk_length"],
+            singcutoff=config["singcutoff"],
+            single_alpha=config.get("single_alpha", True),
+            normalpha=True,
+            use_corr=True,
+            normalize_features=config["normalize_features"],
+            normalize_targets=config["normalize_targets"],
+            seed=config.get("seed", 0),
+        )
+    finally:
+        closer = getattr(trainer.experiment_logger, "close", None)
+        if closer:  # flush/close the event writer (sweeps run many configs)
+            closer()
     logger.info("=== Final Results ===")
     logger.info("Median correlation: %.4f", metrics["median_score"])
     if "n_significant" in metrics:
