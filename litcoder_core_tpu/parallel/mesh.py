@@ -16,10 +16,22 @@ VOX_AXIS = "vox"
 
 def make_mesh(n_devices: Optional[int] = None,
               devices=None, axis: str = VOX_AXIS) -> Mesh:
-    """1-D mesh over `axis` using the first n_devices JAX devices."""
+    """1-D mesh over `axis` using the first n_devices JAX devices.
+
+    Raises RuntimeError when fewer than n_devices exist — silently
+    truncating would build a mis-sized mesh and fail later with an opaque
+    sharding error (this bit the round-1 driver dry run)."""
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise RuntimeError(
+                    f"make_mesh({n_devices}) needs {n_devices} devices but "
+                    f"only {len(devices)} exist (platform="
+                    f"{devices[0].platform}); provision more (e.g. "
+                    f"jax.config.update('jax_num_cpu_devices', "
+                    f"{n_devices}) before JAX initializes)"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis,))
 
