@@ -52,12 +52,23 @@ class AbstractTrainer:
         downsample_config: Optional[Dict] = None,
         story_selection: Optional[List[str]] = None,
         concat_features: bool = True,
+        fused_downsample_fir: Any = "auto",
     ):
         """concat_features=True hstacks multi-extractor features like the
         reference (trainer.py:146-150); False keeps them as separate feature
-        SPACES for banded-ridge models (models.banded.BandedRidgeModel)."""
+        SPACES for banded-ridge models (models.banded.BandedRidgeModel).
+
+        fused_downsample_fir: 'auto' (default) runs Lanczos downsampling and
+        FIR delay expansion as ONE fused device kernel
+        (ops.pallas_kernels.lanczos_fir) whenever that is exactly equivalent
+        to the two-stage path (method='lanczos' without rectify, all delays
+        positive); False always keeps the reference's two-stage flow
+        (Downsampler -> host -> FIR.make_delayed, reference
+        encoding/downsample/interpdata.py:110-124 +
+        encoding/features/FIR_expander.py:24-43); True asserts eligibility."""
         self.assembly = assembly
         self.concat_features = concat_features
+        self.fused_downsample_fir = fused_downsample_fir
         self.feature_extractors = feature_extractors
         self.downsampler = downsampler
         self.model = model
@@ -150,6 +161,98 @@ class AbstractTrainer:
         """Wordrate features are already TR-binned
         (reference: trainer.py:168-172)."""
         return "wordrate" not in extractor.__class__.__name__.lower()
+
+    # ------------------------------------------------- fused stages 1+2
+
+    def _fused_eligible(self) -> bool:
+        """True when the fused Lanczos+FIR kernel is exactly equivalent to
+        Downsampler('lanczos') followed by FIR.make_delayed:
+        - method is lanczos without rectify (rectify splits pos/neg parts);
+        - all FIR delays are positive ints, so every output row t depends
+          only on rows <= t and per-story truncation commutes with the
+          delay stacking."""
+        if not self.fused_downsample_fir:
+            return False
+        eligible = (
+            self.downsample_config.get("method") == "lanczos"
+            and not self.downsample_config.get("rectify", False)
+            and bool(self.fir_delays)
+            and all(int(d) > 0 for d in self.fir_delays)
+        )
+        if self.fused_downsample_fir is True and not eligible:
+            raise ValueError(
+                "fused_downsample_fir=True requires downsample method "
+                "'lanczos' (rectify=False) and strictly positive fir_delays; "
+                f"got method={self.downsample_config.get('method')!r}, "
+                f"delays={self.fir_delays}"
+            )
+        return eligible
+
+    def extract_and_delay_features_fused(self) -> Dict[str, np.ndarray]:
+        """Stages 1+2 in one device program per story: Lanczos interpolation
+        to TRs and FIR delay stacking run as a single fused kernel — the
+        downsampled base matrix never round-trips through HBM/host between
+        the two stages (the north-star fusion; reference hot path:
+        encoding/downsample/interpdata.py:110-124 +
+        encoding/features/FIR_expander.py:24-43).
+
+        Output is IDENTICAL to extract_and_downsample_features() followed by
+        apply_fir_delays(): per-space fused blocks are truncated to the
+        common story length and re-interleaved by delay so multi-extractor
+        column order matches FIR.make_delayed(hstack(spaces))."""
+        from litcoder_core_tpu.ops.pallas_kernels import lanczos_fir
+
+        delays = [int(d) for d in self.fir_delays]
+        n_delays = len(delays)
+        window = self.downsample_config.get("window", 3)
+        cutoff_mult = self.downsample_config.get("cutoff_mult", 1.0)
+
+        all_delayed = {}
+        for story in self.stories_to_process:
+            idx = self.assembly.stories.index(story)
+            tr_times = self.assembly.get_tr_times()[idx]
+            spaces = []      # per-extractor (T, n_delays * D) delayed blocks
+            for extractor in self.feature_extractors:
+                features = self._extract_single_features(extractor, story,
+                                                         idx)
+                if self._should_downsample(extractor):
+                    if isinstance(features, tuple):  # speech: (data, times)
+                        data, data_times = features
+                    else:
+                        data = features
+                        data_times = self.assembly.get_data_times()[idx]
+                    block = np.asarray(lanczos_fir(
+                        data, data_times, tr_times, delays=tuple(delays),
+                        window=window, cutoff_mult=cutoff_mult,
+                    ))
+                else:
+                    # Pre-TR-binned (wordrate): delay-stack only.
+                    block = FIR.make_delayed(np.asarray(features), delays)
+                spaces.append(block)
+
+            # Align story length across extractors, post-FIR: with strictly
+            # positive delays, make_delayed(f[:m]) == make_delayed(f)[:m].
+            min_len = min(b.shape[0] for b in spaces)
+            spaces = [b[:min_len] for b in spaces]
+            if not self.concat_features:
+                all_delayed[story] = spaces
+                logger.info("Story %s (fused): %d feature spaces %s", story,
+                            len(spaces), [b.shape for b in spaces])
+                continue
+            if len(spaces) == 1:
+                combined = spaces[0]
+            else:
+                # (T, k*Di) blocks -> (T, k, Di) -> concat dims -> (T, k*D):
+                # exactly FIR.make_delayed(hstack(spaces)) column order.
+                stacked = np.concatenate(
+                    [b.reshape(min_len, n_delays, -1) for b in spaces],
+                    axis=2,
+                )
+                combined = stacked.reshape(min_len, -1)
+            all_delayed[story] = combined
+            logger.info("Story %s (fused): delayed shape %s", story,
+                        combined.shape)
+        return all_delayed
 
     def _downsample_features(self, features, story_idx: int):
         if isinstance(features, tuple):
@@ -292,10 +395,14 @@ class AbstractTrainer:
         from litcoder_core_tpu.utils.profiling import StageTimer
 
         timer = StageTimer()
-        with timer.stage("extract_and_downsample"):
-            features = self.extract_and_downsample_features()
-        with timer.stage("fir_delays"):
-            delayed = self.apply_fir_delays(features)
+        if self._fused_eligible():
+            with timer.stage("extract_downsample_fir_fused"):
+                delayed = self.extract_and_delay_features_fused()
+        else:
+            with timer.stage("extract_and_downsample"):
+                features = self.extract_and_downsample_features()
+            with timer.stage("fir_delays"):
+                delayed = self.apply_fir_delays(features)
         with timer.stage("structure_data"):
             data = self.structure_data(delayed)
 

@@ -433,3 +433,124 @@ def test_subject_sweep_resume(assembly, tmp_path):
     assert r2 == r1
     assert len(list((tmp_path / "results").glob("run_*"))) == \
         n_runs_after_first
+
+
+# ---------------------------------------------------------------- fused path
+
+
+def _lanczos_trainer(assembly, tmp_path, extractors, fused, **overrides):
+    kwargs = dict(
+        assembly=assembly,
+        feature_extractors=extractors,
+        downsampler=Downsampler(),
+        model=NestedCVModel(seed=0),
+        fir_delays=[1, 2, 3, 4],
+        trimming_config={},
+        use_train_test_split=False,
+        dataset_type="narratives",
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+        downsample_config={"method": "lanczos", "window": 3,
+                           "cutoff_mult": 1.0},
+        fused_downsample_fir=fused,
+    )
+    kwargs.update(overrides)
+    return AbstractTrainer(**kwargs)
+
+
+def _emb_extractor(assembly, tmp_path, dim=6):
+    from litcoder_core_tpu.features.embeddings import SimpleKeyedVectors
+
+    n_words_total = max(len(sd.words) for sd in assembly.story_data.values())
+    vocab = [f"w{i}" for i in range(n_words_total)]
+    kv = SimpleKeyedVectors(vocab, rng.normal(size=(len(vocab), dim)))
+    kv_path = str(tmp_path / "fused_vecs.kv")
+    kv.save_kv(kv_path)
+    return FeatureExtractorFactory.create_extractor(
+        "embeddings", "fused-vecs",
+        {"vector_path": kv_path, "lowercase": False},
+    )
+
+
+def test_fused_lanczos_fir_matches_two_stage(assembly, tmp_path):
+    """The fused Lanczos+FIR kernel must equal Downsampler('lanczos') ->
+    FIR.make_delayed exactly (<=1e-5), including multi-extractor column
+    interleaving with a non-downsampled (wordrate) space."""
+    wordrate = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}
+    )
+    emb = _emb_extractor(assembly, tmp_path)
+
+    two_stage = _lanczos_trainer(assembly, tmp_path, [wordrate, emb],
+                                 fused=False)
+    fused = _lanczos_trainer(assembly, tmp_path, [wordrate, emb],
+                             fused=True)
+    ref = two_stage.apply_fir_delays(
+        two_stage.extract_and_downsample_features()
+    )
+    got = fused.extract_and_delay_features_fused()
+    assert set(got) == set(ref)
+    for story in ref:
+        assert got[story].shape == ref[story].shape
+        np.testing.assert_allclose(got[story], ref[story], atol=1e-5)
+
+
+def test_fused_lanczos_fir_matches_two_stage_banded(assembly, tmp_path):
+    """Per-space (concat_features=False) fused output equals the two-stage
+    per-space pipeline."""
+    wordrate = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}
+    )
+    emb = _emb_extractor(assembly, tmp_path)
+    two_stage = _lanczos_trainer(assembly, tmp_path, [wordrate, emb],
+                                 fused=False, concat_features=False)
+    fused = _lanczos_trainer(assembly, tmp_path, [wordrate, emb],
+                             fused=True, concat_features=False)
+    ref = two_stage.apply_fir_delays(
+        two_stage.extract_and_downsample_features()
+    )
+    got = fused.extract_and_delay_features_fused()
+    for story in ref:
+        assert len(got[story]) == len(ref[story])
+        for g, r in zip(got[story], ref[story]):
+            np.testing.assert_allclose(g, r, atol=1e-5)
+
+
+def test_fused_auto_engages_and_trains(assembly, tmp_path):
+    """fused_downsample_fir='auto' (the default) routes lanczos+FIR configs
+    through the fused stage and produces the same metrics as two-stage."""
+    emb = _emb_extractor(assembly, tmp_path)
+    fused = _lanczos_trainer(assembly, tmp_path, [emb], fused="auto")
+    assert fused._fused_eligible()
+    m_fused = fused.train(chunk_length=10, n_outer_folds=3, n_inner_folds=3)
+    two_stage = _lanczos_trainer(assembly, tmp_path, [emb], fused=False)
+    m_ref = two_stage.train(chunk_length=10, n_outer_folds=3,
+                            n_inner_folds=3)
+    assert np.allclose(m_fused["median_score"], m_ref["median_score"],
+                       atol=1e-4)
+
+
+def test_fused_auto_disengages_for_other_methods(assembly, tmp_path):
+    emb = _emb_extractor(assembly, tmp_path)
+    t = _lanczos_trainer(
+        assembly, tmp_path, [emb], fused="auto",
+        downsample_config={"method": "average"},
+    )
+    assert not t._fused_eligible()
+    # rectify splits pos/neg parts -> not expressible as one kernel matmul.
+    t2 = _lanczos_trainer(
+        assembly, tmp_path, [emb], fused="auto",
+        downsample_config={"method": "lanczos", "window": 3,
+                           "cutoff_mult": 1.0, "rectify": True},
+    )
+    assert not t2._fused_eligible()
+
+
+def test_fused_true_raises_when_ineligible(assembly, tmp_path):
+    emb = _emb_extractor(assembly, tmp_path)
+    t = _lanczos_trainer(
+        assembly, tmp_path, [emb], fused=True,
+        downsample_config={"method": "average"},
+    )
+    with pytest.raises(ValueError, match="fused_downsample_fir"):
+        t._fused_eligible()
