@@ -34,8 +34,9 @@ from litcoder_core_tpu.models.ridge import (
     predict,
 )
 from litcoder_core_tpu.ops.stats import (
-    bh_fdrcorrection,
-    fisher_combine_pvalues,
+    bh_fdrcorrection_np,
+    fisher_combine_pvalues_f64,
+    pearson_pvalues_f64,
     pearson_r_pvalues,
 )
 
@@ -461,8 +462,11 @@ def fit_nested_cv(
             normalpha, singcutoff, voxel_chunk_size, method,
             return_weights=return_weights,
         )
-        significant, corrected_pvals = map(
-            np.asarray, bh_fdrcorrection(jnp.asarray(pvalues), alpha=alpha_fdr)
+        # Decision-grade tail: float64 host p-values (the device float32
+        # betainc underflows to 0 near |r|=1, perturbing BH thresholds).
+        pvalues = pearson_pvalues_f64(correlations, y_test_j.shape[0])
+        significant, corrected_pvals = bh_fdrcorrection_np(
+            pvalues, alpha=alpha_fdr
         )
         n_significant = int(np.sum(significant))
         metrics = _create_metrics_dict(
@@ -525,12 +529,11 @@ def fit_nested_cv(
         )
         if return_weights:
             fold_weights.append(wt)
+        pvalues = pearson_pvalues_f64(correlations, len(test_idx))
         fold_scores.append(correlations)
         fold_pvalues.append(pvalues)
 
-        significant, _ = map(
-            np.asarray, bh_fdrcorrection(jnp.asarray(pvalues), alpha=alpha_fdr)
-        )
+        significant, _ = bh_fdrcorrection_np(pvalues, alpha=alpha_fdr)
         fold_significant_masks.append(significant)
         logger.info(
             "Fold %d/%d - median r: %.3f, significant: %d/%d",
@@ -539,11 +542,9 @@ def fit_nested_cv(
         )
 
     all_correlations = np.mean(fold_scores, axis=0)
-    all_pvalues = np.asarray(
-        fisher_combine_pvalues(jnp.asarray(np.stack(fold_pvalues)))
-    )
-    significant_mask, corrected_pvalues = map(
-        np.asarray, bh_fdrcorrection(jnp.asarray(all_pvalues), alpha=alpha_fdr)
+    all_pvalues = fisher_combine_pvalues_f64(np.stack(fold_pvalues))
+    significant_mask, corrected_pvalues = bh_fdrcorrection_np(
+        all_pvalues, alpha=alpha_fdr
     )
     n_significant = int(np.sum(significant_mask))
 

@@ -66,6 +66,70 @@ def pearson_pvalues(r, n: int):
     return jnp.clip(jnp.nan_to_num(p, nan=1.0), 0.0, 1.0)
 
 
+def pearson_pvalues_f64(r, n: int):
+    """Host float64 two-sided Pearson p-values, bit-matching
+    scipy.stats.pearsonr's tail (betainc(df/2, 1/2, 1 - r^2) in double).
+
+    The device version above runs in float32 (JAX x64 is off globally), so
+    for |r| near 1 at LeBel scale (n ~ 2k test TRs) p underflows to 0 far
+    earlier than scipy's float64, perturbing BH thresholds near alpha.
+    Model-layer code (models/nested_cv.py) refines device p-values through
+    this before any FDR/Fisher decision; the float32 version stays for the
+    fully-jitted fused step (parallel/step.py)."""
+    import numpy as np
+    from scipy.special import betainc as betainc_f64
+
+    r64 = np.asarray(r, np.float64)
+    df = float(n - 2)
+    if df <= 0:
+        return np.ones_like(r64)
+    x = np.clip(1.0 - r64 * r64, 0.0, 1.0)
+    p = betainc_f64(df / 2.0, 0.5, x)
+    p = np.where(np.isnan(r64), 1.0, p)
+    return np.clip(np.nan_to_num(p, nan=1.0), 0.0, 1.0)
+
+
+def fisher_combine_pvalues_f64(fold_pvalues):
+    """Host float64 Fisher combination (see fisher_combine_pvalues), exact
+    to scipy.stats.combine_pvalues(method='fisher'), with the reference's
+    all-p==1 guard (encoding/models/nested_cv.py:459-462)."""
+    import numpy as np
+    from scipy.special import gammaincc as gammaincc_f64
+
+    p = np.asarray(fold_pvalues, np.float64)
+    k = p.shape[0]
+    with np.errstate(divide="ignore"):  # log(0) -> -inf -> stat inf -> p 0
+        stat = -2.0 * np.sum(np.log(p), axis=0)
+    combined = np.where(np.isinf(stat), 0.0,
+                        gammaincc_f64(float(k), stat / 2.0))
+    return np.where(np.all(p >= 1.0, axis=0), 1.0, combined)
+
+
+def bh_fdrcorrection_np(pvals, alpha: float = 0.05):
+    """Host float64 Benjamini-Hochberg step-up, identical to statsmodels
+    fdrcorrection(method='indep') (reference usage:
+    encoding/models/nested_cv.py:158,263,282). Returns
+    (reject_mask, corrected_pvals) as numpy arrays."""
+    import numpy as np
+
+    p = np.asarray(pvals, np.float64)
+    n = p.shape[0]
+    order = np.argsort(p, kind="stable")
+    ranked = p[order]
+    ecdf = np.arange(1, n + 1, dtype=np.float64) / n
+
+    corrected_sorted = np.minimum(
+        np.minimum.accumulate((ranked / ecdf)[::-1])[::-1], 1.0
+    )
+    below = ranked <= ecdf * alpha
+    reject_sorted = np.zeros(n, dtype=bool)
+    if below.any():
+        reject_sorted[: np.max(np.nonzero(below)[0]) + 1] = True
+
+    inv = np.argsort(order)
+    return reject_sorted[inv], corrected_sorted[inv]
+
+
 def pearson_r_pvalues(y_true, y_pred, axis=0):
     """Fused correlations + p-values (one pass over the data)."""
     r = pearson_r(y_true, y_pred, axis=axis)

@@ -1,5 +1,6 @@
 """Golden tests for device-side stats vs scipy / hand-rolled BH."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 from scipy import stats as sps
@@ -153,3 +154,103 @@ def test_fisher_zero_pvalue_guard():
     assert out[0] < 1e-30         # a p=0 fold dominates (floored, not NaN)
     assert 0 < out[1] < 1
     assert out[2] == 1.0          # all-ones special case
+
+
+# ------------------------------------------------------- float64 host tails
+
+
+def test_pearson_pvalues_f64_tail_matches_scipy():
+    """At LeBel scale (n ~ 2k test TRs) the float64 tail must track scipy
+    into regions where float32 betainc underflows to 0."""
+    from scipy.stats import beta as beta_dist
+
+    from litcoder_core_tpu.ops.stats import (
+        pearson_pvalues_f64,
+        pearson_pvalues,
+    )
+
+    n = 2000
+    rs = np.array([0.05, 0.2, 0.5, 0.9, 0.99, 0.999, 0.9999, -0.9999])
+    got = pearson_pvalues_f64(rs, n)
+    df = n - 2
+    expected = np.array(
+        [2 * beta_dist.cdf(0.5 * (1 - abs(r)), df / 2, df / 2) for r in rs]
+    )  # scipy.stats.pearsonr's exact two-sided formula
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+
+    # The float32 device version saturates to 0 well before scipy does;
+    # the f64 tail must not. r=0.35 @ n=2000 puts p ~ 1e-60: below
+    # float32's ~1e-45 subnormal floor, comfortably inside float64.
+    r_tail = np.float32(0.35)
+    p32 = float(pearson_pvalues(jnp.asarray([r_tail]), n)[0])
+    p64 = float(pearson_pvalues_f64(np.asarray([r_tail]), n)[0])
+    expected_tail = 2 * beta_dist.cdf(0.5 * (1 - float(r_tail)), df / 2,
+                                      df / 2)
+    assert p32 == 0.0  # float32 underflow at this (r, n)
+    assert 0.0 < p64 < 1e-45  # float64 keeps the tail
+    np.testing.assert_allclose(p64, expected_tail, rtol=1e-6)
+
+
+def test_pearson_pvalues_f64_agrees_with_f32_where_representable():
+    from litcoder_core_tpu.ops.stats import (
+        pearson_pvalues,
+        pearson_pvalues_f64,
+    )
+
+    rng = np.random.default_rng(3)
+    rs = rng.uniform(-0.5, 0.5, 64).astype(np.float32)
+    p32 = np.asarray(pearson_pvalues(jnp.asarray(rs), 100))
+    p64 = pearson_pvalues_f64(rs, 100)
+    np.testing.assert_allclose(p32, p64, rtol=2e-4, atol=1e-6)
+
+
+def test_fisher_combine_f64_matches_scipy():
+    from scipy.stats import combine_pvalues
+
+    from litcoder_core_tpu.ops.stats import fisher_combine_pvalues_f64
+
+    rng = np.random.default_rng(4)
+    p = rng.uniform(1e-12, 1.0, size=(5, 40))
+    got = fisher_combine_pvalues_f64(p)
+    expected = np.array(
+        [combine_pvalues(p[:, v], method="fisher").pvalue
+         for v in range(p.shape[1])]
+    )
+    np.testing.assert_allclose(got, expected, rtol=1e-10)
+    # all-ones guard + a literal zero p-value
+    p0 = np.ones((3, 2))
+    p0[0, 1] = 0.0
+    out = fisher_combine_pvalues_f64(p0)
+    assert out[0] == 1.0 and out[1] == 0.0
+
+
+def test_bh_fdrcorrection_np_matches_scipy_and_device():
+    from scipy.stats import false_discovery_control
+
+    from litcoder_core_tpu.ops.stats import (
+        bh_fdrcorrection,
+        bh_fdrcorrection_np,
+    )
+
+    rng = np.random.default_rng(5)
+    p = np.concatenate([rng.uniform(0, 1e-4, 30), rng.uniform(0, 1, 200)])
+    reject, corrected = bh_fdrcorrection_np(p, alpha=0.05)
+    np.testing.assert_allclose(
+        corrected, false_discovery_control(p, method="bh"), rtol=1e-12
+    )
+    # statsmodels step-up semantics: reject iff corrected p <= alpha.
+    np.testing.assert_array_equal(reject, corrected <= 0.05)
+    # Device float32 version agrees on decisions for well-separated inputs.
+    reject32, _ = bh_fdrcorrection(jnp.asarray(p, jnp.float32), alpha=0.05)
+    np.testing.assert_array_equal(reject, np.asarray(reject32))
+
+
+def test_bh_fdrcorrection_np_tail_decisions_beyond_float32():
+    """p-values below float32's subnormal range must still rank correctly
+    (float32 flushes them all to 0, losing the ordering)."""
+    from litcoder_core_tpu.ops.stats import bh_fdrcorrection_np
+
+    p = np.array([1e-300, 1e-200, 1e-100, 0.04, 0.5, 0.9])
+    reject, corrected = bh_fdrcorrection_np(p, alpha=0.05)
+    assert reject[:3].all() and not reject[4:].any()
+    assert corrected[0] < corrected[1] < corrected[2]  # ordering preserved
