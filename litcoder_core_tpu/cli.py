@@ -61,30 +61,40 @@ TRIMMING_PARAMS = [
 
 def build_feature_config(modality: str, model_name: str,
                          config: Dict[str, Any]) -> Dict[str, Any]:
-    """Per-modality extractor config tables (reference: unified.py:133-158)."""
+    """Per-modality extractor config tables (reference: unified.py:133-158).
+
+    config['extractor_config_overrides'] ({modality: {key: value}}) merges
+    last — the run(config) dict API's hook for injecting model/tokenizer
+    instances or extra extractor options (offline tests, custom models);
+    not reachable from argparse."""
     if modality == "language_model":
-        return {
+        out = {
             "model_name": model_name,
             "layer_idx": config["layer_idx"],
             "last_token": config["last_token"],
             "lookback": config["lookback"],
         }
-    if modality == "speech":
-        return {
+    elif modality == "speech":
+        out = {
             "chunk_size": config.get("chunk_size", 0.1),
             "context_size": config.get("context_size", 16.0),
             "layer": config["layer_idx"],
             "pool": "last",
             "target_sample_rate": 16000,
         }
-    if modality == "embeddings":
-        return {
+    elif modality == "embeddings":
+        out = {
             "vector_path": config.get("vector_path"),
             "binary": config.get("binary", True),
             "lowercase": config.get("lowercase", False),
             "oov_handling": "copy_prev",
         }
-    return {}
+    else:
+        out = {}
+    out.update(
+        config.get("extractor_config_overrides", {}).get(modality, {})
+    )
+    return out
 
 
 def build_extractors(config: Dict[str, Any]) -> List[Any]:
@@ -158,12 +168,29 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         f"{config['dataset_type']}-{subject_label}-"
         f"{datetime.now().strftime('%Y%m%d-%H%M%S')}"
     )
+    banded = bool(config.get("banded"))
+    if banded:
+        # Joint multi-space fitting: one band per modality, per-voxel
+        # (gamma, alpha) selection (models.banded). Requires the train/test
+        # structuring (last story held out).
+        if not dataset_config["use_train_test_split"]:
+            raise ValueError(
+                "--banded requires a train/test-split dataset preset "
+                "(lebel); LPP/narratives use concatenated full-CV "
+                "structuring, which banded ridge does not support"
+            )
+        from litcoder_core_tpu.models.banded import BandedRidgeModel
+
+        model = BandedRidgeModel(seed=config.get("seed", 0),
+                                 n_gammas=config.get("n_gammas", 10))
+    else:
+        model = NestedCVModel(model_name="ridge_regression",
+                              seed=config.get("seed", 0))
     trainer = AbstractTrainer(
         assembly=assembly,
         feature_extractors=build_extractors(config),
         downsampler=Downsampler(),
-        model=NestedCVModel(model_name="ridge_regression",
-                            seed=config.get("seed", 0)),
+        model=model,
         fir_delays=list(range(1, config["ndelays"] + 1)),
         trimming_config=dataset_config["trimming"],
         use_train_test_split=dataset_config["use_train_test_split"],
@@ -176,9 +203,20 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         run_name=run_name,
         downsample_config=downsample_config,
         story_selection=story_selection,
+        concat_features=not banded,
     )
-    try:
-        metrics = trainer.train(
+    if banded:
+        train_kwargs = dict(
+            folding_type=config["folding_type"],
+            n_inner_folds=config["n_inner_folds"],
+            chunk_length=config["chunk_length"],
+            singcutoff=config["singcutoff"],
+            normalpha=True,
+            use_corr=True,
+            seed=config.get("seed", 0),
+        )
+    else:
+        train_kwargs = dict(
             folding_type=config["folding_type"],
             n_outer_folds=config["n_outer_folds"],
             n_inner_folds=config["n_inner_folds"],
@@ -191,6 +229,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             normalize_targets=config["normalize_targets"],
             seed=config.get("seed", 0),
         )
+    try:
+        metrics = trainer.train(**train_kwargs)
     finally:
         closer = getattr(trainer.experiment_logger, "close", None)
         if closer:  # flush/close the event writer (sweeps run many configs)
@@ -237,6 +277,13 @@ def parse_args(argv=None):
     parser.add_argument("--no_single_alpha", dest="single_alpha",
                         action="store_false",
                         help="Per-voxel alphas instead of one global alpha")
+    parser.add_argument("--banded", action="store_true",
+                        help="Joint banded ridge: one band per modality "
+                             "(concat_features=False + BandedRidgeModel); "
+                             "requires a train/test-split dataset (lebel)")
+    parser.add_argument("--n_gammas", type=int, default=10,
+                        help="Banded ridge: number of candidate band-"
+                             "variance vectors (row 0 is always uniform)")
     parser.add_argument("--seed", type=int, default=0)
     # Preprocessing
     parser.add_argument("--downsample_method", type=str, default="lanczos")
