@@ -1,6 +1,6 @@
 """Benchmark: nested-CV ridge fit throughput (voxels*alphas/sec).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Problem: a LeBel-UTS03-shaped train/test nested-CV ridge fit
 (BASELINE.md: 10-alpha grid x 5 inner folds + per-voxel refit, fsaverage5
@@ -9,21 +9,34 @@ voxel count). Ours runs as the fused jitted step (litcoder_core_tpu.parallel
 
 Baseline: the reference's algorithm (encoding/models/ridge_regression.py +
 nested_cv.py: fresh torch SVD per fold, per-alpha Python loop, per-voxel
-scipy pearsonr) re-implemented faithfully in torch-CPU and timed at two
-reduced voxel counts, then extrapolated linearly in V to the full problem
-(the reference publishes no numbers — BASELINE.md requires self-measuring
-its torch-CPU path).
+scipy pearsonr) re-implemented faithfully in torch-CPU, measured ONCE by
+benchmarks/measure_baseline.py and PINNED in
+benchmarks/baseline_torch_cpu.json so vs_baseline is comparable across
+rounds (re-measuring each run swung the ratio 78x-172x in round 1). If the
+pinned record is missing it is re-measured live as a fallback.
+
+Extra keys: achieved_tflops (analytic FLOP count / wall) and
+mfu_vs_bf16_peak (fraction of the chip's bf16 matmul peak — the fit runs
+float32 Precision.HIGHEST, which costs multiple bf16 passes per matmul, so
+this is a conservative utilization floor).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 # Bench problem scale (LeBel-ish: T ~ thousands of TRs, D = FIR-expanded LM
-# features, V = fsaverage5 vertex count).
+# features, V = fsaverage5 vertex count). Must match measure_baseline.py.
 T, TP, D, V, A, F, CHUNK = 4096, 512, 1536, 20484, 10, 5, 20
 SEED = 0
+
+_BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "baseline_torch_cpu.json")
+
+# bf16 MXU peak per chip (TFLOP/s) for MFU accounting.
+_BF16_PEAK_TFLOPS = {"tpu": 197.0}
 
 
 def _problem(v):
@@ -37,8 +50,34 @@ def _problem(v):
     return X, Y, X_test, Y_test, alphas
 
 
-def time_ours() -> float:
+def flops_estimate(t_union: int, t_val: int) -> float:
+    """Analytic FLOPs of the complement-Gram nested-CV step
+    (parallel/step.py 'eigh' path): Grams, per-fold eigensolves, the
+    (F, A)-deep alpha-scan matmuls, the refit and the held-out scoring.
+    Matmul = 2mnk; eigh ~ 10 n^3."""
+    f = 0.0
+    f += 2.0 * t_union * D * D          # union Gram
+    f += 2.0 * t_union * D * V          # union X^T Y
+    per_fold = (
+        2.0 * t_val * D * D             # val-block Gram
+        + 10.0 * D**3                   # eigh
+        + 2.0 * t_val * D * D           # PVh
+        + 2.0 * t_val * D * V           # val X^T Y
+        + 2.0 * D * D * V               # UR rotation
+        + A * (2.0 * t_val * D * V + 6.0 * t_val * V)  # alpha scan + corr
+    )
+    f += F * per_fold
+    # Full-train refit + held-out scoring.
+    f += 2.0 * T * D * D + 10.0 * D**3  # full Gram + eigh
+    f += 2.0 * D * D * V                # UR rotation
+    f += 2.0 * D * D * V                # weights
+    f += 2.0 * TP * D * V + 6.0 * TP * V  # predict + pearson
+    return f
+
+
+def time_ours():
     import jax
+    import jax.numpy as jnp
 
     from litcoder_core_tpu.parallel.step import (
         equal_size_folds,
@@ -47,6 +86,8 @@ def time_ours() -> float:
 
     X, Y, X_test, Y_test, alphas = _problem(V)
     train_idx, val_idx = equal_size_folds(T, F, CHUNK, seed=SEED)
+    t_union = train_idx.shape[1] + val_idx.shape[1]
+    t_val = val_idx.shape[1]
     # Device-resident inputs: measure the fit, not host->device transfer.
     X, Y, X_test, Y_test, alphas, train_idx, val_idx = jax.device_put(
         (X, Y, X_test, Y_test, alphas, train_idx, val_idx)
@@ -60,8 +101,6 @@ def time_ours() -> float:
         # computation ran (observed wall=0.00s without this).
         return float(jnp.sum(out.correlations)), out
 
-    import jax.numpy as jnp
-
     s0, out = run()  # compile + first run
     iters = 3
     t0 = time.perf_counter()
@@ -71,86 +110,57 @@ def time_ours() -> float:
     wall = (time.perf_counter() - t0) / iters
     med = float(np.median(np.asarray(out.correlations)))
     assert np.isfinite(med)
-    return wall
+    return wall, flops_estimate(t_union, t_val), jax.devices()[0].platform
 
 
-def time_reference_torch_cpu(v: int) -> float:
-    """Reference algorithm, faithfully: per-fold torch SVD, per-alpha loop,
-    per-voxel scipy pearsonr on host (nested_cv.py:334-438)."""
-    import torch
-    from scipy.stats import pearsonr
+def load_or_measure_baseline() -> float:
+    """Pinned reference wall (seconds); live re-measure only as fallback."""
+    if os.path.exists(_BASELINE_PATH):
+        with open(_BASELINE_PATH) as f:
+            record = json.load(f)
+        assert record["problem"] == {
+            "T": T, "TP": TP, "D": D, "V": V, "A": A, "F": F,
+            "chunk": CHUNK, "seed": SEED,
+        }, "pinned baseline measured a different problem; re-run " \
+           "benchmarks/measure_baseline.py"
+        return float(record["wall_seconds_extrapolated_full_v"])
 
-    X, Y, X_test, Y_test, alphas = _problem(v)
-    Xt = torch.tensor(X)
-    Yt = torch.tensor(Y)
-    Xte = torch.tensor(X_test)
+    import sys
 
-    from litcoder_core_tpu.parallel.step import equal_size_folds
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks"
+    ))
+    from measure_baseline import time_reference_torch_cpu
 
-    train_idx, val_idx = equal_size_folds(T, F, CHUNK, seed=SEED)
-
-    t0 = time.perf_counter()
-    fold_corrs = []
-    for f in range(F):
-        tr = torch.tensor(train_idx[f], dtype=torch.long)
-        va = torch.tensor(val_idx[f], dtype=torch.long)
-        Rstim, Pstim = Xt[tr], Xt[va]
-        Rresp, Presp = Yt[tr], Yt[va]
-        U, S, Vh = torch.linalg.svd(Rstim, full_matrices=False)
-        UR = U.T @ Rresp
-        PVh = Pstim @ Vh.T
-        zP = (Presp - Presp.mean(0)) / (Presp.std(0) + 1e-8)
-        rcorrs = []
-        for a in alphas:
-            na = float(a) * S[0].item()
-            Dd = S / (S**2 + na**2)
-            pred = (PVh * Dd[None, :]) @ UR
-            zpred = (pred - pred.mean(0)) / (pred.std(0) + 1e-8)
-            rcorrs.append(torch.nan_to_num((zP * zpred).mean(0)))
-        fold_corrs.append(torch.stack(rcorrs))
-    mean_corrs = torch.stack(fold_corrs).mean(0)
-    best = torch.tensor(alphas)[mean_corrs.argmax(0)]
-
-    # Refit grouped by unique alpha (ridge_regression.py:49-62).
-    U, S, Vh = torch.linalg.svd(Xt, full_matrices=False)
-    UR = U.T @ Yt
-    nalphas = best * S[0]
-    wt = torch.zeros((D, v))
-    for ua in torch.unique(nalphas):
-        sel = torch.nonzero(nalphas == ua).squeeze(-1)
-        Dd = S / (S**2 + ua**2)
-        wt[:, sel] = (Vh.T @ torch.diag(Dd)) @ UR[:, sel]
-    y_pred = (Xte @ wt).numpy()
-
-    # Serial host-side per-voxel pearsonr (nested_cv.py:418-438).
-    for i in range(v):
-        pearsonr(Y_test[:, i], y_pred[:, i])
-    return time.perf_counter() - t0
+    v1, v2 = 256, 1024
+    w1 = time_reference_torch_cpu(v1)
+    w2 = time_reference_torch_cpu(v2)
+    c1 = (w2 - w1) / (v2 - v1)
+    return (w1 - c1 * v1) + c1 * V
 
 
 def main():
-    wall_ours = time_ours()
+    wall_ours, flops, platform_name = time_ours()
 
     try:
-        v1, v2 = 256, 1024
-        w1 = time_reference_torch_cpu(v1)
-        w2 = time_reference_torch_cpu(v2)
-        # Linear model wall(V) = c0 + c1 V, extrapolated to the full V.
-        c1 = (w2 - w1) / (v2 - v1)
-        c0 = w1 - c1 * v1
-        wall_ref = c0 + c1 * V
-        vs_baseline = wall_ref / wall_ours
+        vs_baseline = load_or_measure_baseline() / wall_ours
     except Exception:
         vs_baseline = None
 
-    print(json.dumps({
+    achieved_tflops = flops / wall_ours / 1e12
+    peak = _BF16_PEAK_TFLOPS.get(platform_name)
+    result = {
         "metric": "nested_cv_ridge_fit_voxels_alphas_per_sec",
         "value": round(V * A / wall_ours, 1),
         "unit": f"voxels*alphas/sec (T={T}, D={D}, V={V}, A={A}, F={F}; "
-                f"wall={wall_ours:.2f}s)",
+                f"wall={wall_ours:.2f}s; fp32-HIGHEST)",
         "vs_baseline": (round(vs_baseline, 1)
                         if vs_baseline is not None else None),
-    }))
+        "achieved_tflops": round(achieved_tflops, 2),
+    }
+    if peak:
+        result["mfu_vs_bf16_peak"] = round(achieved_tflops / peak, 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
