@@ -231,3 +231,90 @@ def test_make_step_with_mesh_places_inputs():
     bad = np.zeros((T, V + 1), np.float32)
     with pytest.raises(ValueError, match="not divisible"):
         step(X, bad, X_test, Y_test, alphas, train_idx, val_idx)
+
+
+# ---- multi-chip scaling evidence (SURVEY.md §5.8: zero-ICI solve) -----------
+
+
+def _sharded_inputs(mesh, V):
+    X, Y, X_test, Y_test, alphas = _problem(V=V)
+    train_idx, val_idx = equal_size_folds(X.shape[0], 4, 8)
+    Y = shard_voxels(Y, mesh)
+    Y_test = shard_voxels(Y_test, mesh)
+    X = replicate(X, mesh)
+    X_test = replicate(X_test, mesh)
+    return X, Y, X_test, Y_test, alphas, train_idx, val_idx
+
+
+@pytest.mark.parametrize("n", [2, 4, 8])
+def test_per_device_shards_scale_inverse_with_mesh(n):
+    """HBM is really distributed: every per-device shard of the sharded
+    inputs AND outputs holds exactly 1/n of the voxel axis."""
+    mesh = make_mesh(n)
+    V = 16 * n
+    X, Y, X_test, Y_test, alphas, tr, va = _sharded_inputs(mesh, V)
+    assert {s.data.shape for s in Y.addressable_shards} == \
+        {(Y.shape[0], V // n)}
+
+    out = nested_cv_step(X, Y, X_test, Y_test, alphas, tr, va)
+    jax.block_until_ready(out)
+    assert {s.data.shape for s in out.correlations.addressable_shards} == \
+        {(V // n,)}
+    assert {s.data.shape for s in out.weights.addressable_shards} == \
+        {(out.weights.shape[0], V // n)}
+    assert {s.data.shape for s in out.best_alphas.addressable_shards} == \
+        {(V // n,)}
+
+
+@pytest.mark.parametrize("method", ["eigh", "svd"])
+def test_compiled_sharded_step_has_no_tensor_collectives(method):
+    """The voxel-sharded solve must move NO tensor data between devices:
+    per-voxel ridge problems are independent (SURVEY.md §2.4/§5.8). The
+    compiled HLO may contain only scalar pred[]/f32[] all-reduces (loop
+    convergence flags from the replicated eigensolve); any all-gather /
+    reduce-scatter / all-to-all / collective-permute, or an all-reduce on a
+    non-scalar tensor, is a sharding regression."""
+    import re
+
+    from litcoder_core_tpu.parallel.step import _nested_cv_step_impl
+
+    mesh = make_mesh(8)
+    X, Y, X_test, Y_test, alphas, tr, va = _sharded_inputs(mesh, V=64)
+    complement = method == "eigh"
+    lowered = _nested_cv_step_impl.lower(
+        X, Y, X_test, Y_test, alphas, jax.numpy.asarray(tr),
+        jax.numpy.asarray(va), normalpha=True, use_corr=True,
+        single_alpha=False, singcutoff=1e-10, method=method,
+        complement=complement,
+    )
+    txt = lowered.compile().as_text()
+
+    for banned in ["all-gather", "reduce-scatter", "all-to-all",
+                   "collective-permute"]:
+        assert banned not in txt, f"found {banned} in compiled solve"
+    for line in txt.splitlines():
+        if "all-reduce(" not in line:
+            continue
+        # Scalar-only: 'pred[] all-reduce(...)' or 'f32[] all-reduce(...)'.
+        m = re.search(r"=\s*(\S+)\s+all-reduce\(", line)
+        assert m and m.group(1) in ("pred[]", "f32[]", "s32[]"), (
+            f"non-scalar all-reduce in solve: {line.strip()[:200]}"
+        )
+
+
+def test_weak_scaling_shard_invariance():
+    """Per-voxel results are independent of the mesh size hosting them:
+    the 8-way sharded fit of 8k voxel-blocks equals the 1-device fit of
+    the same block (bitwise-deterministic program, same inputs)."""
+    X, Y, X_test, Y_test, alphas = _problem(V=16)
+    tr, va = equal_size_folds(X.shape[0], 4, 8)
+    base = nested_cv_step(X, Y, X_test, Y_test, alphas, tr, va)
+
+    mesh = make_mesh(8)
+    Y8 = shard_voxels(np.tile(Y, (1, 8)), mesh)
+    Yt8 = shard_voxels(np.tile(Y_test, (1, 8)), mesh)
+    out = nested_cv_step(replicate(X, mesh), Y8, replicate(X_test, mesh),
+                         Yt8, alphas, tr, va)
+    tiled = np.tile(np.asarray(base.correlations), 8)
+    np.testing.assert_allclose(np.asarray(out.correlations), tiled,
+                               atol=1e-5)
