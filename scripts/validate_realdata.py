@@ -30,6 +30,11 @@ import sys
 DEFAULT_EXPECTED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "expected_lebel_uts03.json")
 
+# Run straight from a checkout even when the package isn't pip-installed.
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
 
 def run_ours(assembly_path: str, seed: int = 0):
     from litcoder_core_tpu.assembly.assembly_loader import load_assembly
