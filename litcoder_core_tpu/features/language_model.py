@@ -29,6 +29,14 @@ TPU redesign:
 Backends: 'flax' (HF Flax checkpoints — the native path), 'torch' (CPU
 fallback for torch-only checkpoints), 'auto' (flax then torch). Config may
 also inject `model` + `tokenizer` objects directly (tests, custom models).
+
+Multi-chip: pass a 2-D ('data', 'model') `jax.sharding.Mesh` via the `mesh`
+config key (build one with `parallel.tp.make_lm_mesh`). Parameters are
+placed under Megatron-style tensor-parallel rules (attention qkv / MLP-up
+column-parallel, attention-out / MLP-down row-parallel), inputs shard their
+batch dim over 'data', and XLA's SPMD partitioner inserts the ICI
+collectives — models larger than one chip's HBM become usable as feature
+extractors, which the reference's single-device torch path cannot do.
 """
 
 import logging
@@ -126,6 +134,19 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
             backend = config.get("backend", "flax")
             self.backend = "flax" if backend == "auto" else backend
         self._configure_dims()
+
+        self.mesh = config.get("mesh")
+        self._sharded_params = None
+        if self.mesh is not None:
+            if self.backend != "flax":
+                raise ValueError(
+                    "mesh-sharded extraction requires the flax backend "
+                    f"(got backend={self.backend!r})"
+                )
+            from litcoder_core_tpu.parallel.tp import shard_lm_params
+
+            self._sharded_params = shard_lm_params(self._model.params,
+                                                   self.mesh)
 
     # ------------------------------------------------------------------ setup
 
@@ -294,6 +315,30 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 pooled = num / den
             return pooled.float().cpu().numpy()
 
+    def _params(self):
+        """Forward params: the TP-sharded tree when a mesh is configured."""
+        return (self._sharded_params if self._sharded_params is not None
+                else self._model.params)
+
+    def _prep_inputs(self, *arrays: np.ndarray):
+        """Pad batch rows to the mesh's 'data' extent and shard them.
+
+        Padding rows carry an all-zero attention mask (pooling gathers
+        position 0, which the caller slices off). Returns (arrays, n_pad).
+        """
+        if self.mesh is None:
+            return arrays, 0
+        from litcoder_core_tpu.parallel.tp import pad_batch_rows, shard_batch
+
+        n_pad = pad_batch_rows(arrays[0].shape[0], self.mesh)
+        if n_pad:
+            arrays = tuple(
+                np.concatenate(
+                    [a, np.zeros((n_pad,) + a.shape[1:], a.dtype)]
+                ) for a in arrays
+            )
+        return shard_batch(arrays, self.mesh), n_pad
+
     def _prefix_sharing_enabled(self) -> bool:
         if self.prefix_sharing in (True, False):
             return bool(self.prefix_sharing)
@@ -333,9 +378,10 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                             for j in chain]
                     pos[row, :len(chain)] = ends
                     pos[row, len(chain):] = ends[-1]  # padded gathers
+                (ids, mask, pos), _ = self._prep_inputs(ids, mask, pos)
                 pooled = np.asarray(
-                    forward(self._model.params, ids, mask, pos), np.float32
-                )  # (L+1, B, K, D)
+                    forward(self._params(), ids, mask, pos), np.float32
+                )  # (L+1, B(+pad), K, D) — padded rows never indexed below
                 for row, chain in enumerate(batch):
                     pooled_all[:, chain, :] = pooled[:, row, :len(chain), :]
 
@@ -374,10 +420,13 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 ids[row, :len(toks)] = toks
                 mask[row, :len(toks)] = 1
             if self.backend == "flax":
+                (ids, mask), n_pad = self._prep_inputs(ids, mask)
                 pooled = np.asarray(
-                    self._flax_forward_fn()(self._model.params, ids, mask),
+                    self._flax_forward_fn()(self._params(), ids, mask),
                     np.float32,
                 )
+                if n_pad:
+                    pooled = pooled[:, :-n_pad, :]
             else:
                 pooled = self._torch_forward(ids, mask)
             pooled_all[:, batch_idx, :] = pooled

@@ -8,14 +8,26 @@ are replicated; the solve itself needs zero communication, and only scalar
 metric reductions (median/counts) gather.
 """
 
-from litcoder_core_tpu.parallel.mesh import make_mesh, shard_voxels, VOX_AXIS
+from litcoder_core_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_voxels,
+    VOX_AXIS,
+)
 from litcoder_core_tpu.parallel.step import (
     make_nested_cv_step,
     nested_cv_step,
     pad_voxels,
 )
+from litcoder_core_tpu.parallel.tp import (
+    make_lm_mesh,
+    shard_lm_params,
+    DATA_AXIS,
+    MODEL_AXIS,
+)
 
 __all__ = [
     "make_mesh", "shard_voxels", "replicate", "VOX_AXIS",
     "make_nested_cv_step", "nested_cv_step", "pad_voxels",
+    "make_lm_mesh", "shard_lm_params", "DATA_AXIS", "MODEL_AXIS",
 ]
