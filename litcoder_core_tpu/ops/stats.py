@@ -36,6 +36,17 @@ def zscore(x, axis=0, eps: float = 1e-8, ddof: int = 1):
     return (x - mean) / (std + eps)
 
 
+def trainer_zscore(x):
+    """Device twin of utils.core.zs (reference encoding/utils.py:23-29):
+    per-column ddof=0 z-score where zero-variance columns are left DEMEANED
+    (no eps in the denominator — the eps variant above matches the model-
+    level torch path instead). Jittable; works for 1-D and 2-D inputs."""
+    x = jnp.asarray(x)
+    m = x - jnp.mean(x, axis=0, keepdims=(x.ndim > 1))
+    s = jnp.std(x, axis=0, keepdims=(x.ndim > 1))
+    return jnp.where(s == 0.0, m, m / jnp.where(s == 0.0, 1.0, s))
+
+
 def pearson_r(y_true, y_pred, axis=0):
     """Columnwise Pearson correlation; NaN -> 0 like the reference
     (encoding/models/nested_cv.py:433-436)."""

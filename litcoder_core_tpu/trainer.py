@@ -53,6 +53,7 @@ class AbstractTrainer:
         story_selection: Optional[List[str]] = None,
         concat_features: bool = True,
         fused_downsample_fir: Any = "auto",
+        device_resident: Any = "auto",
     ):
         """concat_features=True hstacks multi-extractor features like the
         reference (trainer.py:146-150); False keeps them as separate feature
@@ -65,10 +66,20 @@ class AbstractTrainer:
         positive); False always keeps the reference's two-stage flow
         (Downsampler -> host -> FIR.make_delayed, reference
         encoding/downsample/interpdata.py:110-124 +
-        encoding/features/FIR_expander.py:24-43); True asserts eligibility."""
+        encoding/features/FIR_expander.py:24-43); True asserts eligibility.
+
+        device_resident: 'auto' (default) keeps pipeline arrays ON DEVICE
+        from the fused downsample+FIR kernel through structuring (z-score/
+        trim/stack run as jnp ops, numerics identical to the host path) so
+        nothing round-trips host memory between stages — the solver then
+        consumes already-resident arrays. 'auto' activates exactly when the
+        fused kernel is active; True forces device structuring even for the
+        two-stage flow (arrays move to device at the structure stage);
+        False keeps the reference's host numpy structuring."""
         self.assembly = assembly
         self.concat_features = concat_features
         self.fused_downsample_fir = fused_downsample_fir
+        self.device_resident = device_resident
         self.feature_extractors = feature_extractors
         self.downsampler = downsampler
         self.model = model
@@ -188,6 +199,11 @@ class AbstractTrainer:
             )
         return eligible
 
+    def _device_resident_active(self) -> bool:
+        if self.device_resident == "auto":
+            return self._fused_eligible()
+        return bool(self.device_resident)
+
     def extract_and_delay_features_fused(self) -> Dict[str, np.ndarray]:
         """Stages 1+2 in one device program per story: Lanczos interpolation
         to TRs and FIR delay stacking run as a single fused kernel — the
@@ -199,8 +215,17 @@ class AbstractTrainer:
         Output is IDENTICAL to extract_and_downsample_features() followed by
         apply_fir_delays(): per-space fused blocks are truncated to the
         common story length and re-interleaved by delay so multi-extractor
-        column order matches FIR.make_delayed(hstack(spaces))."""
+        column order matches FIR.make_delayed(hstack(spaces)).
+
+        With device_resident active, blocks stay as device arrays (no
+        np.asarray fetch per story); structuring then also runs on device."""
+        import jax.numpy as jnp
+
+        from litcoder_core_tpu.ops import fir as fir_ops
         from litcoder_core_tpu.ops.pallas_kernels import lanczos_fir
+
+        resident = self._device_resident_active()
+        xp = jnp if resident else np
 
         delays = [int(d) for d in self.fir_delays]
         n_delays = len(delays)
@@ -221,13 +246,17 @@ class AbstractTrainer:
                     else:
                         data = features
                         data_times = self.assembly.get_data_times()[idx]
-                    block = np.asarray(lanczos_fir(
+                    block = lanczos_fir(
                         data, data_times, tr_times, delays=tuple(delays),
                         window=window, cutoff_mult=cutoff_mult,
-                    ))
+                    )
+                    if not resident:
+                        block = np.asarray(block)
                 else:
                     # Pre-TR-binned (wordrate): delay-stack only.
-                    block = FIR.make_delayed(np.asarray(features), delays)
+                    block = (fir_ops.make_delayed(features, delays) if resident
+                             else FIR.make_delayed(np.asarray(features),
+                                                   delays))
                 spaces.append(block)
 
             # Align story length across extractors, post-FIR: with strictly
@@ -244,7 +273,7 @@ class AbstractTrainer:
             else:
                 # (T, k*Di) blocks -> (T, k, Di) -> concat dims -> (T, k*D):
                 # exactly FIR.make_delayed(hstack(spaces)) column order.
-                stacked = np.concatenate(
+                stacked = xp.concatenate(
                     [b.reshape(min_len, n_delays, -1) for b in spaces],
                     axis=2,
                 )
@@ -305,6 +334,17 @@ class AbstractTrainer:
             return self._create_train_test_split(features, brain_data)
         return self._create_concatenated_data(features, brain_data)
 
+    def _structure_ops(self):
+        """(zs, vstack, nan_to_num) — host numpy or device jnp twins
+        (trainer_zscore reproduces utils.core.zs exactly on device)."""
+        if self._device_resident_active():
+            import jax.numpy as jnp
+
+            from litcoder_core_tpu.ops.stats import trainer_zscore
+
+            return trainer_zscore, jnp.vstack, jnp.nan_to_num
+        return zs, np.vstack, np.nan_to_num
+
     def _create_train_test_split(self, features: Dict,
                                  brain_data: Dict) -> Dict[str, np.ndarray]:
         """LeBel style: last story held out; per-story z-score + trim + vstack
@@ -313,14 +353,15 @@ class AbstractTrainer:
         stories = list(features.keys())
         train_stories, test_stories = stories[:-1], stories[-1:]
         cfg = self.trimming_config
+        zs_fn, vstack, nan_to_num = self._structure_ops()
 
         if isinstance(features[stories[0]], list):
             n_spaces = len(features[stories[0]])
 
             def stack(space_idx, story_list, lo_key, hi_key):
-                return np.nan_to_num(np.vstack([
-                    zs(features[s][space_idx][cfg.get(lo_key, 0):
-                                              cfg.get(hi_key, None)])
+                return nan_to_num(vstack([
+                    zs_fn(features[s][space_idx][cfg.get(lo_key, 0):
+                                                 cfg.get(hi_key, None)])
                     for s in story_list
                 ]))
 
@@ -328,37 +369,37 @@ class AbstractTrainer:
                            "train_features_end") for b in range(n_spaces)]
             Pstim = [stack(b, test_stories, "test_features_start",
                            "test_features_end") for b in range(n_spaces)]
-            Rresp = np.vstack([
-                zs(brain_data[s][cfg.get("train_targets_start", 0):
-                                 cfg.get("train_targets_end", None)])
+            Rresp = vstack([
+                zs_fn(brain_data[s][cfg.get("train_targets_start", 0):
+                                    cfg.get("train_targets_end", None)])
                 for s in train_stories
             ])
-            Presp = np.vstack([
-                zs(brain_data[s][cfg.get("test_targets_start", 0):
-                                 cfg.get("test_targets_end", None)])
+            Presp = vstack([
+                zs_fn(brain_data[s][cfg.get("test_targets_start", 0):
+                                    cfg.get("test_targets_end", None)])
                 for s in test_stories
             ])
             return {"Rstim": Rstim, "Rresp": Rresp,
                     "Pstim": Pstim, "Presp": Presp}
 
-        X_train = np.nan_to_num(np.vstack([
-            zs(features[s][cfg.get("train_features_start", 0):
-                           cfg.get("train_features_end", None)])
+        X_train = nan_to_num(vstack([
+            zs_fn(features[s][cfg.get("train_features_start", 0):
+                              cfg.get("train_features_end", None)])
             for s in train_stories
         ]))
-        Y_train = np.vstack([
-            zs(brain_data[s][cfg.get("train_targets_start", 0):
-                             cfg.get("train_targets_end", None)])
+        Y_train = vstack([
+            zs_fn(brain_data[s][cfg.get("train_targets_start", 0):
+                                cfg.get("train_targets_end", None)])
             for s in train_stories
         ])
-        X_test = np.nan_to_num(np.vstack([
-            zs(features[s][cfg.get("test_features_start", 0):
-                           cfg.get("test_features_end", None)])
+        X_test = nan_to_num(vstack([
+            zs_fn(features[s][cfg.get("test_features_start", 0):
+                              cfg.get("test_features_end", None)])
             for s in test_stories
         ]))
-        Y_test = np.vstack([
-            zs(brain_data[s][cfg.get("test_targets_start", 0):
-                             cfg.get("test_targets_end", None)])
+        Y_test = vstack([
+            zs_fn(brain_data[s][cfg.get("test_targets_start", 0):
+                                cfg.get("test_targets_end", None)])
             for s in test_stories
         ])
         logger.info("Train: X%s Y%s | Test: X%s Y%s", X_train.shape,
@@ -376,12 +417,9 @@ class AbstractTrainer:
                 "Banded (concat_features=False) training requires "
                 "use_train_test_split=True"
             )
-        X = np.concatenate(
-            [features[s] for s in self.stories_to_process], axis=0
-        )
-        Y = np.concatenate(
-            [brain_data[s] for s in self.stories_to_process], axis=0
-        )
+        _, vstack, _ = self._structure_ops()
+        X = vstack([features[s] for s in self.stories_to_process])
+        Y = vstack([brain_data[s] for s in self.stories_to_process])
         X = X[cfg.get("features_start", 0):cfg.get("features_end", None)]
         Y = Y[cfg.get("targets_start", 0):cfg.get("targets_end", None)]
         logger.info("Final: X%s Y%s", X.shape, Y.shape)

@@ -254,3 +254,25 @@ def test_bh_fdrcorrection_np_tail_decisions_beyond_float32():
     reject, corrected = bh_fdrcorrection_np(p, alpha=0.05)
     assert reject[:3].all() and not reject[4:].any()
     assert corrected[0] < corrected[1] < corrected[2]  # ordering preserved
+
+
+def test_trainer_zscore_matches_host_zs():
+    """Device twin of utils.core.zs: ddof=0, zero-variance columns left
+    demeaned, 1-D supported."""
+    from litcoder_core_tpu.ops.stats import trainer_zscore
+    from litcoder_core_tpu.utils.core import zs
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(40, 6)).astype(np.float32)
+    x[:, 2] = 7.0  # zero-variance column
+    np.testing.assert_allclose(
+        np.asarray(trainer_zscore(x)), zs(x), atol=1e-6
+    )
+    v = rng.normal(size=40).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(trainer_zscore(v)), zs(v), atol=1e-6
+    )
+    c = np.full(10, 3.0, np.float32)  # constant 1-D
+    np.testing.assert_allclose(
+        np.asarray(trainer_zscore(c)), zs(c), atol=1e-6
+    )

@@ -554,3 +554,70 @@ def test_fused_true_raises_when_ineligible(assembly, tmp_path):
     )
     with pytest.raises(ValueError, match="fused_downsample_fir"):
         t._fused_eligible()
+
+
+# ------------------------------------------------------- device-resident path
+
+
+def test_device_resident_structuring_matches_host(assembly, tmp_path):
+    """device_resident=True keeps arrays on device through structure_data;
+    structured matrices must match the host numpy path elementwise."""
+    emb = _emb_extractor(assembly, tmp_path)
+    host = _lanczos_trainer(assembly, tmp_path, [emb], fused=True,
+                            use_train_test_split=True,
+                            trimming_config={"train_features_start": 3,
+                                             "test_targets_start": 2},
+                            device_resident=False)
+    dev = _lanczos_trainer(assembly, tmp_path, [emb], fused=True,
+                           use_train_test_split=True,
+                           trimming_config={"train_features_start": 3,
+                                            "test_targets_start": 2},
+                           device_resident=True)
+    ref = host.structure_data(host.extract_and_delay_features_fused())
+    got = dev.structure_data(dev.extract_and_delay_features_fused())
+    assert set(got) == set(ref)
+    import jax
+
+    for key in ref:
+        assert isinstance(got[key], jax.Array), key  # actually resident
+        np.testing.assert_allclose(np.asarray(got[key]), ref[key],
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_device_resident_banded_structuring_matches_host(assembly, tmp_path):
+    wordrate = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}
+    )
+    emb = _emb_extractor(assembly, tmp_path)
+    kw = dict(fused=True, use_train_test_split=True, concat_features=False,
+              trimming_config={"train_targets_start": 1})
+    host = _lanczos_trainer(assembly, tmp_path, [wordrate, emb],
+                            device_resident=False, **kw)
+    dev = _lanczos_trainer(assembly, tmp_path, [wordrate, emb],
+                           device_resident=True, **kw)
+    ref = host.structure_data(host.extract_and_delay_features_fused())
+    got = dev.structure_data(dev.extract_and_delay_features_fused())
+    for key in ("Rstim", "Pstim"):
+        for g, r in zip(got[key], ref[key]):
+            np.testing.assert_allclose(np.asarray(g), r, atol=2e-5,
+                                       rtol=1e-5)
+    for key in ("Rresp", "Presp"):
+        np.testing.assert_allclose(np.asarray(got[key]), ref[key],
+                                   atol=2e-5, rtol=1e-5)
+
+
+def test_device_resident_auto_trains_end_to_end(assembly, tmp_path):
+    """Default ('auto'/'auto') pipeline: fused kernel + device structuring,
+    metrics equal to the all-host two-stage flow."""
+    emb = _emb_extractor(assembly, tmp_path)
+    dev = _lanczos_trainer(assembly, tmp_path, [emb], fused="auto",
+                           use_train_test_split=True)
+    assert dev._device_resident_active()
+    m_dev = dev.train(chunk_length=10, n_inner_folds=3)
+    host = _lanczos_trainer(assembly, tmp_path, [emb], fused=False,
+                            use_train_test_split=True,
+                            device_resident=False)
+    m_host = host.train(chunk_length=10, n_inner_folds=3)
+    assert np.allclose(m_dev["median_score"], m_host["median_score"],
+                       atol=1e-4)
+    assert m_dev["n_significant"] == m_host["n_significant"]
