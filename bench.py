@@ -52,19 +52,27 @@ def _problem(v):
 
 def flops_estimate(t_union: int, t_val: int) -> float:
     """Analytic FLOPs of the complement-Gram nested-CV step
-    (parallel/step.py 'eigh' path): Grams, per-fold eigensolves, the
-    (F, A)-deep alpha-scan matmuls, the refit and the held-out scoring.
-    Matmul = 2mnk; eigh ~ 10 n^3."""
+    (parallel/step.py 'auto' = Woodbury scan): ONE union eigensolve, per-
+    fold rotations + Lanczos normalpha, per-(fold, alpha) Cholesky
+    downdates, the (F, A)-deep alpha-scan matmuls, the refit and the
+    held-out scoring. Matmul = 2mnk; eigh ~ 10 n^3; chol ~ n^3/3."""
     f = 0.0
     f += 2.0 * t_union * D * D          # union Gram
     f += 2.0 * t_union * D * V          # union X^T Y
+    f += 10.0 * D**3                    # ONE union eigh (shared by folds)
+    lanczos_m = 24
     per_fold = (
-        2.0 * t_val * D * D             # val-block Gram
-        + 10.0 * D**3                   # eigh
-        + 2.0 * t_val * D * D           # PVh
+        2.0 * t_val * D * D             # val-block Gram (P = Xva Q)
         + 2.0 * t_val * D * V           # val X^T Y
-        + 2.0 * D * D * V               # UR rotation
-        + A * (2.0 * t_val * D * V + 6.0 * t_val * V)  # alpha scan + corr
+        + 2.0 * D * D * V               # UR0 rotation
+        + lanczos_m * 4.0 * t_val * D   # normalpha Lanczos matvecs
+        + A * (
+            2.0 * t_val * t_val * D     # K_a = P~ P^T
+            + t_val**3 / 3.0 * 2.0      # chol(I - K_a)
+            + 4.0 * t_val * t_val * D   # two triangular solves (D RHS)
+            + 2.0 * t_val * D * V       # prediction matmul
+            + 6.0 * t_val * V           # correlation
+        )
     )
     f += F * per_fold
     # Full-train refit + held-out scoring.
@@ -95,7 +103,7 @@ def time_ours():
 
     def run():
         out = nested_cv_step(X, Y, X_test, Y_test, alphas, train_idx,
-                             val_idx, method="eigh")
+                             val_idx, method="auto")
         # Force execution with a scalar fetch: on the experimental tunneled
         # backend block_until_ready alone does not guarantee the dispatched
         # computation ran (observed wall=0.00s without this).

@@ -167,15 +167,122 @@ def score_alpha_grid(S, good, PVh, UR, Presp, nalphas,
     def score_one_alpha(na):
         D = jnp.where(good, S / (S**2 + na**2), 0.0)
         pred = jnp.dot(PVh * D[None, :], UR, precision=scan_precision)
-        if use_corr:
-            rcorr = jnp.mean(zPresp * zscore(pred, axis=0), axis=0)
-        else:
-            resvar = jnp.var(Presp - pred, axis=0, ddof=1)
-            rsq = 1.0 - resvar / Prespvar
-            rcorr = jnp.sqrt(jnp.abs(rsq)) * jnp.sign(rsq)
-        return jnp.nan_to_num(rcorr, nan=0.0, posinf=0.0, neginf=0.0)
+        return _score_predictions(pred, Presp, zPresp, Prespvar, use_corr)
 
     return jax.lax.map(score_one_alpha, jnp.asarray(nalphas, jnp.float32))
+
+
+def _score_predictions(pred, Presp, zPresp, Prespvar, use_corr: bool):
+    """Correlation (or signed R^2) of one alpha's predictions, NaN -> 0
+    (ridge_regression.py:104-141 semantics). Shared by every scan variant."""
+    if use_corr:
+        rcorr = jnp.mean(zPresp * zscore(pred, axis=0), axis=0)
+    else:
+        resvar = jnp.var(Presp - pred, axis=0, ddof=1)
+        rsq = 1.0 - resvar / Prespvar
+        rcorr = jnp.sqrt(jnp.abs(rsq)) * jnp.sign(rsq)
+    return jnp.nan_to_num(rcorr, nan=0.0, posinf=0.0, neginf=0.0)
+
+
+def score_alpha_grid_woodbury(lam_u, P, UR0, Presp, nalphas,
+                              use_corr: bool = True,
+                              fast_scan: bool = False):
+    """(A, Vc) alpha-grid scores WITHOUT a per-fold eigensolve.
+
+    Works in the eigenbasis of the fold-scheme UNION Gram G_u = Q L Q^T
+    (one eigh shared by every fold) instead of each fold's own training
+    Gram. With B_a = G_u + a^2 I (diagonal in that basis) the Woodbury
+    downdate for the fold's training Gram G_tr = G_u - Xva^T Xva gives
+
+        pred_a = Xva (G_tr + a^2 I)^-1 XtY_tr
+               = (I - K_a)^-1  P diag(1/(L+a^2)) UR0,
+
+    where P = Xva Q, UR0 = Q^T XtY_tr and K_a = P diag(1/(L+a^2)) P^T.
+    This is ALGEBRAICALLY IDENTICAL to the per-fold eigh path (including
+    rank-deficient G_tr: XtY_tr lies in range(G_tr), so null components
+    vanish either way) but replaces each fold's O(10 D^3) eigensolve — the
+    dominant wall-clock cost of the fused step on TPU, where eigh runs far
+    off the MXU roofline — with a (Tva, Tva) Cholesky per (fold, alpha),
+    whose factor I - K_a is positive definite for every a > 0 because
+    B_a > Xva^T Xva. Requires strictly positive (normalized) alphas; the
+    caller gates on that (parallel/step.py picks this path only when the
+    concrete alpha grid is safely positive).
+
+    Args:
+        lam_u: (D,) union-Gram eigenvalues (ascending or any order;
+            clamped at 0 against eigh roundoff).
+        P: (Tva, D) validation stimuli rotated into the union eigenbasis.
+        UR0: (D, Vc) Q^T (X_tr^T Y_tr).
+        Presp: (Tva, Vc) validation responses.
+        nalphas: (A,) normalized per-fold alphas.
+    """
+    Presp = jnp.asarray(Presp, jnp.float32)
+    zPresp = zscore(Presp, axis=0)
+    Prespvar = jnp.var(Presp, axis=0, ddof=1)
+    scan_precision = jax.lax.Precision.DEFAULT if fast_scan else _HIGHEST
+    lam = jnp.maximum(jnp.asarray(lam_u, jnp.float32), 0.0)
+    eye = jnp.eye(P.shape[0], dtype=jnp.float32)
+
+    def score_one_alpha(na):
+        d = 1.0 / (lam + na * na)
+        Pt = P * d[None, :]
+        K = jnp.dot(Pt, P.T, precision=_HIGHEST)
+        L = jnp.linalg.cholesky(eye - K)
+        Z = jax.scipy.linalg.solve_triangular(L, Pt, lower=True)
+        M = jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
+        pred = jnp.dot(M, UR0, precision=scan_precision)
+        return _score_predictions(pred, Presp, zPresp, Prespvar, use_corr)
+
+    return jax.lax.map(score_one_alpha, jnp.asarray(nalphas, jnp.float32))
+
+
+def lmax_downdate(lam_u, P, m: int = 24):
+    """Largest eigenvalue of diag(lam_u) - P^T P (a fold's training Gram in
+    the union eigenbasis) via m-step Lanczos with full reorthogonalization.
+
+    Used for the reference's per-fold `normalpha` scale S[0] = sqrt(lmax)
+    (ridge_regression.py:39-43) on the Woodbury path, where no per-fold
+    eigendecomposition exists. Warm start: the union Gram's own top
+    eigendirection (the last basis vector when lam_u is ascending) — the
+    downdate removes ~1/F of the data, so the top eigenvector barely
+    rotates and Rayleigh-Ritz over the Krylov space converges to f32
+    precision in a handful of steps. Deterministic (fixed start, fixed m).
+    """
+    lam = jnp.asarray(lam_u, jnp.float32)
+    d_feat = lam.shape[0]
+    start = jnp.argmax(lam)
+
+    def matvec(w):
+        return lam * w - jnp.dot(
+            P.T, jnp.dot(P, w, precision=_HIGHEST), precision=_HIGHEST
+        )
+
+    v0 = jnp.zeros(d_feat, jnp.float32).at[start].set(1.0)
+    basis = jnp.zeros((m, d_feat), jnp.float32)
+    diag = jnp.zeros(m, jnp.float32)
+    off = jnp.zeros(m, jnp.float32)
+
+    def body(i, carry):
+        basis, diag, off, v, v_prev, b_prev = carry
+        w = matvec(v)
+        a = jnp.dot(w, v, precision=_HIGHEST)
+        w = w - a * v - b_prev * v_prev
+        # Full reorthogonalization: f32 Lanczos loses orthogonality fast.
+        w = w - jnp.dot(basis.T, jnp.dot(basis, w, precision=_HIGHEST),
+                        precision=_HIGHEST)
+        b = jnp.linalg.norm(w)
+        v_next = w / jnp.maximum(b, 1e-30)
+        return (basis.at[i].set(v), diag.at[i].set(a), off.at[i].set(b),
+                v_next, v, b)
+
+    init = (basis, diag, off, v0, jnp.zeros_like(v0),
+            jnp.asarray(0.0, jnp.float32))
+    _, diag, off, _, _, _ = jax.lax.fori_loop(0, m, body, init)
+    idx = jnp.arange(m - 1)
+    tri = (jnp.diag(diag)
+           .at[idx, idx + 1].set(off[:m - 1])
+           .at[idx + 1, idx].set(off[:m - 1]))
+    return jnp.linalg.eigvalsh(tri)[-1]
 
 
 @jax.jit

@@ -93,26 +93,55 @@ def nested_cv_step(
     Returns:
         NestedCVResult(correlations, pvalues, best_alphas, weights).
     """
-    complement = (method in ("auto", "eigh")
+    complement = (method in ("auto", "eigh", "woodbury")
                   and train_idx.shape[1] >= X.shape[1])
     if complement and not isinstance(train_idx, jax.core.Tracer):
         complement = _folds_are_complementary(train_idx, val_idx)
+    scan = _resolve_scan_method(method, complement, alphas, normalpha)
     return _nested_cv_step_impl(
         X, Y, X_test, Y_test, alphas, train_idx, val_idx,
         normalpha=normalpha, use_corr=use_corr, single_alpha=single_alpha,
         singcutoff=singcutoff, method=method, complement=complement,
+        scan=scan,
     )
+
+
+def _resolve_scan_method(method: str, complement: bool, alphas,
+                         normalpha: bool) -> str:
+    """Pick the complement-branch scoring kernel.
+
+    'woodbury' (union-eigh + per-(fold, alpha) Cholesky downdate — see
+    models.ridge.score_alpha_grid_woodbury) replaces the five per-fold
+    eigensolves that dominate the step's wall clock on TPU. It is
+    algebraically identical to the eigh scan but needs I - K_a to be
+    safely positive definite in float32, so it engages only when the
+    concrete alpha grid is strictly positive and not vanishingly small
+    relative to the normalpha scaling (normalized alphas >= 1e-3 * S[0]).
+    method='eigh' keeps the per-fold eigensolve scan; 'woodbury' forces
+    the fast path (caller vouches for the alphas)."""
+    if not complement:
+        return "eigh"
+    if method == "woodbury":
+        return "woodbury"
+    if method == "auto" and normalpha and not isinstance(
+            alphas, jax.core.Tracer):
+        import numpy as np
+
+        a = np.asarray(alphas)
+        if a.size and np.all(a >= 1e-3):
+            return "woodbury"
+    return "eigh"
 
 
 @partial(
     jax.jit,
     static_argnames=("normalpha", "use_corr", "single_alpha", "singcutoff",
-                     "method", "complement"),
+                     "method", "complement", "scan"),
 )
 def _nested_cv_step_impl(
     X, Y, X_test, Y_test, alphas, train_idx, val_idx,
     normalpha: bool, use_corr: bool, single_alpha: bool, singcutoff: float,
-    method: str, complement: bool,
+    method: str, complement: bool, scan: str = "eigh",
 ) -> NestedCVResult:
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
@@ -127,7 +156,11 @@ def _nested_cv_step_impl(
         # val rows): G_tr = G_union - Xva^T Xva and X_tr^T Y = X_u^T Y -
         # Xva^T Yva — half the Gram/UR matmul rows and no (F, Ttr, .)
         # gathers.
-        from litcoder_core_tpu.models.ridge import score_alpha_grid
+        from litcoder_core_tpu.models.ridge import (
+            lmax_downdate,
+            score_alpha_grid,
+            score_alpha_grid_woodbury,
+        )
 
         H = jax.lax.Precision.HIGHEST
         union = jnp.sort(val_idx.ravel())
@@ -137,21 +170,43 @@ def _nested_cv_step_impl(
         G_union = jnp.dot(Xu.T, Xu, precision=H)
         XtY_u = jnp.dot(Xu.T, Yu, precision=H)
 
-        def one_fold(va, vp):
-            Xva = X[va]
-            Yva = Yu[vp]
-            G = G_union - jnp.dot(Xva.T, Xva, precision=H)
-            evals, evecs = jnp.linalg.eigh(G)
-            S = jnp.sqrt(jnp.maximum(jnp.flip(evals), 0.0))
-            Vh = jnp.flip(evecs, axis=1).T
-            good = S > singcutoff
-            PVh = jnp.dot(Xva, Vh.T, precision=H)
-            XtY_tr = XtY_u - jnp.dot(Xva.T, Yva, precision=H)
-            inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
-            UR = inv_s[:, None] * jnp.dot(Vh, XtY_tr, precision=H)
-            nal = alphas * S[0] if normalpha else alphas
-            return score_alpha_grid(S, good, PVh, UR, Yva, nal,
-                                    use_corr=use_corr)
+        if scan == "woodbury":
+            # ONE union eigensolve serves every fold; each fold's own
+            # spectrum is reached by a Cholesky downdate per alpha
+            # (score_alpha_grid_woodbury) and its normalpha scale by a
+            # warm-started Lanczos (lmax_downdate) — removes the F per-fold
+            # eigensolves that dominate the eigh scan's wall clock.
+            lam_u, Q = jnp.linalg.eigh(G_union)
+
+            def one_fold(va, vp):
+                Xva = X[va]
+                Yva = Yu[vp]
+                P = jnp.dot(Xva, Q, precision=H)
+                XtY_tr = XtY_u - jnp.dot(Xva.T, Yva, precision=H)
+                UR0 = jnp.dot(Q.T, XtY_tr, precision=H)
+                if normalpha:
+                    s0 = jnp.sqrt(jnp.maximum(lmax_downdate(lam_u, P), 0.0))
+                    nal = alphas * s0
+                else:
+                    nal = alphas
+                return score_alpha_grid_woodbury(lam_u, P, UR0, Yva, nal,
+                                                 use_corr=use_corr)
+        else:
+            def one_fold(va, vp):
+                Xva = X[va]
+                Yva = Yu[vp]
+                G = G_union - jnp.dot(Xva.T, Xva, precision=H)
+                evals, evecs = jnp.linalg.eigh(G)
+                S = jnp.sqrt(jnp.maximum(jnp.flip(evals), 0.0))
+                Vh = jnp.flip(evecs, axis=1).T
+                good = S > singcutoff
+                PVh = jnp.dot(Xva, Vh.T, precision=H)
+                XtY_tr = XtY_u - jnp.dot(Xva.T, Yva, precision=H)
+                inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
+                UR = inv_s[:, None] * jnp.dot(Vh, XtY_tr, precision=H)
+                nal = alphas * S[0] if normalpha else alphas
+                return score_alpha_grid(S, good, PVh, UR, Yva, nal,
+                                        use_corr=use_corr)
 
         fold_corrs = jax.vmap(one_fold)(val_idx, val_pos)  # (F, A, V)
     else:
