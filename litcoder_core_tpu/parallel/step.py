@@ -116,7 +116,9 @@ def _resolve_scan_method(method: str, complement: bool, alphas,
     algebraically identical to the eigh scan but needs I - K_a to be
     safely positive definite in float32, so it engages only when the
     concrete alpha grid is strictly positive and not vanishingly small
-    relative to the normalpha scaling (normalized alphas >= 1e-3 * S[0]).
+    relative to the normalpha scaling: with nal = a * S[0], the factor's
+    condition number is ~lam_max/nal^2 = 1/a^2, so a >= 0.03 keeps kappa
+    below ~10^3 (f32 solve error ~1e-4; the reference grid starts at 0.1).
     method='eigh' keeps the per-fold eigensolve scan; 'woodbury' forces
     the fast path (caller vouches for the alphas)."""
     if not complement:
@@ -128,7 +130,7 @@ def _resolve_scan_method(method: str, complement: bool, alphas,
         import numpy as np
 
         a = np.asarray(alphas)
-        if a.size and np.all(a >= 1e-3):
+        if a.size and np.all(a >= 0.03):
             return "woodbury"
     return "eigh"
 

@@ -121,10 +121,10 @@ def test_resolve_scan_method_gates():
     assert _resolve_scan_method("auto", False, a, True) == "eigh"
     # normalpha off: alpha scale unknown relative to the spectrum -> eigh
     assert _resolve_scan_method("auto", True, a, False) == "eigh"
-    # zero / tiny alphas make I - K ill-conditioned -> eigh
+    # zero / tiny alphas make I - K ill-conditioned (kappa ~ 1/a^2) -> eigh
     assert _resolve_scan_method("auto", True, np.array([0.0, 1.0]),
                                 True) == "eigh"
-    assert _resolve_scan_method("auto", True, np.array([1e-6, 1.0]),
+    assert _resolve_scan_method("auto", True, np.array([1e-2, 1.0]),
                                 True) == "eigh"
     # explicit overrides
     assert _resolve_scan_method("eigh", True, a, True) == "eigh"
