@@ -45,7 +45,7 @@ def main():
         return fit_nested_cv(
             Xd, Yd, X_test=Xtd, y_test=Ytd, chunk_length=CHUNK,
             n_inner_folds=F, alphas=alphas, seed=0,
-            voxel_chunk_size=args.voxel_chunk, method="eigh",
+            voxel_chunk_size=args.voxel_chunk, method="auto",
             # Metrics-only (the reference's ModelSaver likewise defaults to
             # save_weights=False) — skips the GB-scale weight fetch.
             return_weights=False,

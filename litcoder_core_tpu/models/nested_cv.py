@@ -38,6 +38,7 @@ from litcoder_core_tpu.ops.stats import (
     fisher_combine_pvalues_f64,
     pearson_pvalues_f64,
     pearson_r_pvalues,
+    zscore,
 )
 
 logger = logging.getLogger(__name__)
@@ -183,6 +184,106 @@ def _score_all_complement(states, X_union, Y, union_idx, val_pos, alphas,
     return jnp.moveaxis(out, 0, 1).reshape(alphas.shape[0], n_chunks * chunk)
 
 
+# --- Cholesky fold-streaming path (no per-fold eigendecompositions) ----------
+#
+# TPU profiling shows symmetric eigensolves run far off the MXU roofline
+# (~65% of the fused step's wall clock at bench shapes; worse at D=3072).
+# For the alpha SEARCH no eigenbasis is needed at all: each fold's scores
+# only require pred_a = Xva (G_tr + nal_a^2 I)^-1 X_tr^T Y, and G + a^2 I
+# is positive definite for every a > 0 regardless of G's rank, so a
+# Cholesky factorization per (fold, alpha) — blocked matmuls, MXU-friendly
+# — replaces the fold eigensolve exactly (XtY lies in range(G_tr), so even
+# rank-deficient folds match the masked-spectrum formula). The `normalpha`
+# scale S[0] comes from a Lanczos lambda-max (models.ridge.lmax_dense).
+# Works for ARBITRARY fold shapes (no equal-shape vmap or partition-union
+# requirement), streaming one fold at a time so the (A, D, Tva) solve
+# factors never coexist across folds.
+
+
+@partial(jax.jit, static_argnames=("normalpha",))
+def _fold_chol_factors(Xtr, Xva, alphas, normalpha: bool):
+    """(Z_all (A, D, Tva), nal (A,)): per-alpha solve factors for one fold,
+    Z_a = (G_tr + nal_a^2 I)^-1 Xva^T."""
+    from litcoder_core_tpu.models.ridge import lmax_dense
+
+    H = jax.lax.Precision.HIGHEST
+    Xtr = jnp.asarray(Xtr, jnp.float32)
+    Xva = jnp.asarray(Xva, jnp.float32)
+    alphas = jnp.asarray(alphas, jnp.float32)
+    G = jnp.dot(Xtr.T, Xtr, precision=H)
+    if normalpha:
+        s0 = jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0))
+        nal = alphas * s0
+    else:
+        nal = alphas
+    eye = jnp.eye(G.shape[0], dtype=jnp.float32)
+    XvaT = Xva.T
+
+    def one_alpha(na):
+        L = jnp.linalg.cholesky(G + (na * na) * eye)
+        Z = jax.scipy.linalg.solve_triangular(L, XvaT, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
+
+    return jax.lax.map(one_alpha, nal), nal
+
+
+@partial(jax.jit, static_argnames=("use_corr",))
+def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool):
+    """(A, Vc) fold scores from precomputed solve factors: the only
+    V-dependent work is one X^T Y and the per-alpha prediction matmul."""
+    from litcoder_core_tpu.models.ridge import _score_predictions
+
+    H = jax.lax.Precision.HIGHEST
+    Ytr_c = jnp.asarray(Ytr_c, jnp.float32)
+    Yva_c = jnp.asarray(Yva_c, jnp.float32)
+    XtY = jnp.dot(Xtr.T, Ytr_c, precision=H)  # (D, Vc)
+    zP = zscore(Yva_c, axis=0)
+    Pvar = jnp.var(Yva_c, axis=0, ddof=1)
+
+    def one_alpha(Z):
+        pred = jnp.dot(Z.T, XtY, precision=H)  # (Tva, Vc)
+        return _score_predictions(pred, Yva_c, zP, Pvar, use_corr)
+
+    return jax.lax.map(one_alpha, Z_all)
+
+
+def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
+                           use_corr: bool,
+                           voxel_chunk_size: Optional[int]):
+    """Fold-streaming alpha search: zero eigendecompositions."""
+    n_alphas, n_voxels = len(alphas), Y.shape[1]
+    X = jnp.asarray(X, jnp.float32)
+    corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
+    for train_idx, val_idx in fold_splits:
+        tr = jnp.asarray(train_idx)
+        va = jnp.asarray(val_idx)
+        Xtr = X[tr]
+        Z_all, _ = _fold_chol_factors(Xtr, X[va], alphas, normalpha)
+        parts = []
+        for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
+            Yc = Y[:, lo:hi]
+            parts.append(_score_chunk_chol(Z_all, Xtr, Yc[tr], Yc[va],
+                                           use_corr))
+        corr_sum = corr_sum + jnp.concatenate(parts, axis=1)
+    return corr_sum / len(fold_splits)
+
+
+def _chol_search_eligible(method: str, normalpha: bool, alphas,
+                          fold_splits, n_features: int) -> bool:
+    """Gate for the Cholesky search: explicit 'chol', or 'auto' when every
+    fold is tall (cost: the D x D Gram must be the small object) and the
+    alpha grid keeps kappa(G + nal^2 I) ~ 1/min(alpha)^2 f32-safe
+    (>= 0.03 -> kappa <~ 1e3; the reference grid starts at 0.1)."""
+    if method == "chol":
+        return True
+    if method != "auto" or not normalpha:
+        return False
+    a = np.asarray(alphas)
+    if not (a.size and np.all(a >= 0.03)):
+        return False
+    return all(len(tr) >= n_features for tr, _ in fold_splits)
+
+
 def _folds_partition_union(fold_splits) -> bool:
     """True iff each fold's train rows = union rows minus its val rows (the
     chunked-fold structure the complement identity requires)."""
@@ -215,6 +316,11 @@ def _find_best_alphas(
     (smallest-index) alpha like torch.argmax. When every fold has the same
     shape (chunked folding with n_chunks divisible by n_folds), the folds are
     vmapped into ONE jitted program — identical numerics, one dispatch.
+
+    Search-path order: Cholesky fold-streaming (no eigendecompositions at
+    all; any fold shapes) when `_chol_search_eligible`, else the
+    complement-Gram eigh path (equal partition-union folds), else batched
+    per-fold spectral states, else the per-fold Python loop.
     """
     n_alphas, n_voxels = len(alphas), Y.shape[1]
     alphas_j = jnp.asarray(alphas, jnp.float32)
@@ -225,7 +331,13 @@ def _find_best_alphas(
     if resolved == "auto":
         resolved = "eigh" if ttr >= X.shape[1] else "svd"
 
-    if (len(shapes) == 1 and resolved == "eigh"
+    if _chol_search_eligible(method, normalpha, alphas, fold_splits,
+                             X.shape[1]):
+        mean_corrs = _find_best_alphas_chol(
+            X, Y, fold_splits, alphas_j, normalpha, use_corr,
+            voxel_chunk_size,
+        )
+    elif (len(shapes) == 1 and resolved == "eigh"
             and _folds_partition_union(fold_splits)):
         # Complement-Gram fast path: no (F, Ttr, .) gathers at all. The
         # union must cover every row any fold touches (train rows outside
@@ -318,7 +430,10 @@ def _fit_and_score(
     metrics-only workflow never uses (the reference's ModelSaver likewise
     defaults to save_weights=False, utils.py:330)."""
     n_voxels = Y_train.shape[1]
-    svd = ridge_svd(X_train, None, singcutoff=singcutoff, method=method)
+    # 'chol' is an alpha-SEARCH method; the per-voxel-alpha refit needs a
+    # spectral basis (one elementwise (D, V) shrinkage vs A dense solves).
+    svd_method = "auto" if method == "chol" else method
+    svd = ridge_svd(X_train, None, singcutoff=singcutoff, method=svd_method)
     valphas_j = jnp.asarray(valphas, jnp.float32)
     nalphas = valphas_j * svd.S[0] if normalpha else valphas_j
 

@@ -236,29 +236,12 @@ def score_alpha_grid_woodbury(lam_u, P, UR0, Presp, nalphas,
     return jax.lax.map(score_one_alpha, jnp.asarray(nalphas, jnp.float32))
 
 
-def lmax_downdate(lam_u, P, m: int = 24):
-    """Largest eigenvalue of diag(lam_u) - P^T P (a fold's training Gram in
-    the union eigenbasis) via m-step Lanczos with full reorthogonalization.
-
-    Used for the reference's per-fold `normalpha` scale S[0] = sqrt(lmax)
-    (ridge_regression.py:39-43) on the Woodbury path, where no per-fold
-    eigendecomposition exists. Warm start: the union Gram's own top
-    eigendirection (the last basis vector when lam_u is ascending) — the
-    downdate removes ~1/F of the data, so the top eigenvector barely
-    rotates and Rayleigh-Ritz over the Krylov space converges to f32
-    precision in a handful of steps. Deterministic (fixed start, fixed m).
-    """
-    lam = jnp.asarray(lam_u, jnp.float32)
-    d_feat = lam.shape[0]
-    start = jnp.argmax(lam)
-
-    def matvec(w):
-        return lam * w - jnp.dot(
-            P.T, jnp.dot(P, w, precision=_HIGHEST), precision=_HIGHEST
-        )
-
-    v0 = jnp.zeros(d_feat, jnp.float32).at[start].set(1.0)
-    basis = jnp.zeros((m, d_feat), jnp.float32)
+def _lanczos_lmax(matvec, v0, m: int):
+    """Largest eigenvalue of a symmetric operator via m-step Lanczos with
+    full reorthogonalization (f32 Lanczos loses orthogonality fast without
+    it). Deterministic: fixed start vector, fixed step count."""
+    v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
+    basis = jnp.zeros((m, v0.shape[0]), jnp.float32)
     diag = jnp.zeros(m, jnp.float32)
     off = jnp.zeros(m, jnp.float32)
 
@@ -267,7 +250,6 @@ def lmax_downdate(lam_u, P, m: int = 24):
         w = matvec(v)
         a = jnp.dot(w, v, precision=_HIGHEST)
         w = w - a * v - b_prev * v_prev
-        # Full reorthogonalization: f32 Lanczos loses orthogonality fast.
         w = w - jnp.dot(basis.T, jnp.dot(basis, w, precision=_HIGHEST),
                         precision=_HIGHEST)
         b = jnp.linalg.norm(w)
@@ -283,6 +265,46 @@ def lmax_downdate(lam_u, P, m: int = 24):
            .at[idx, idx + 1].set(off[:m - 1])
            .at[idx + 1, idx].set(off[:m - 1]))
     return jnp.linalg.eigvalsh(tri)[-1]
+
+
+def lmax_downdate(lam_u, P, m: int = 24):
+    """Largest eigenvalue of diag(lam_u) - P^T P (a fold's training Gram in
+    the union eigenbasis) via Lanczos.
+
+    Used for the reference's per-fold `normalpha` scale S[0] = sqrt(lmax)
+    (ridge_regression.py:39-43) on the Woodbury path, where no per-fold
+    eigendecomposition exists. Warm start: the union Gram's own top
+    eigendirection (the basis vector of the largest lam_u) — the downdate
+    removes ~1/F of the data, so the top eigenvector barely rotates and
+    Rayleigh-Ritz over the Krylov space converges to f32 precision in a
+    handful of steps.
+    """
+    lam = jnp.asarray(lam_u, jnp.float32)
+
+    def matvec(w):
+        return lam * w - jnp.dot(
+            P.T, jnp.dot(P, w, precision=_HIGHEST), precision=_HIGHEST
+        )
+
+    v0 = jnp.zeros(lam.shape[0], jnp.float32).at[jnp.argmax(lam)].set(1.0)
+    return _lanczos_lmax(matvec, v0, m)
+
+
+def lmax_dense(G, m: int = 64):
+    """Largest eigenvalue of a dense symmetric PSD matrix via Lanczos.
+
+    Cold start (one power step from the all-ones vector, which is almost
+    never orthogonal to the top eigenvector of a Gram matrix); m=64 with
+    full reorthogonalization resolves realistic Gram spectra to ~f32
+    precision — accuracy is locked against eigh in tests. Replaces a full
+    eigendecomposition when only the `normalpha` scale is needed."""
+    G = jnp.asarray(G, jnp.float32)
+
+    def matvec(w):
+        return jnp.dot(G, w, precision=_HIGHEST)
+
+    v0 = jnp.dot(G, jnp.ones(G.shape[0], jnp.float32), precision=_HIGHEST)
+    return _lanczos_lmax(matvec, v0, m)
 
 
 @jax.jit

@@ -143,3 +143,105 @@ def test_step_auto_single_alpha_and_rsq(problem):
                                       np.asarray(r_wb.best_alphas))
         np.testing.assert_allclose(np.asarray(r_eigh.correlations),
                                    np.asarray(r_wb.correlations), atol=1e-6)
+
+
+# ------------------------- fold-streaming Cholesky search (models.nested_cv)
+
+
+def test_chol_search_matches_eigh_unequal_folds():
+    """The Cholesky fold-streaming search must reproduce the eigh search
+    for ARBITRARY fold shapes (the whole-brain northstar case: chunked
+    folds with a remainder-absorbing last fold)."""
+    from litcoder_core_tpu.models.folding import create_folds
+    from litcoder_core_tpu.models.nested_cv import (
+        _chol_search_eligible,
+        _find_best_alphas,
+    )
+
+    r = np.random.default_rng(5)
+    t, d, v = 430, 32, 50
+    X = r.normal(size=(t, d)).astype(np.float32)
+    Y = (X @ r.normal(size=(d, v)).astype(np.float32) / np.sqrt(d)
+         + 0.5 * r.normal(size=(t, v))).astype(np.float32)
+    folds = create_folds(n_samples=t, fold_type="chunked", n_folds=5,
+                         chunk_length=10, seed=0)
+    shapes = {(len(tr), len(va)) for tr, va in folds}
+    assert len(shapes) > 1  # genuinely unequal folds
+    alphas = np.logspace(-1, 8, 10)
+    assert _chol_search_eligible("auto", True, alphas, folds, d)
+
+    best_chol = _find_best_alphas(X, Y, folds, alphas, False, True, True,
+                                  1e-10, None, method="auto")
+    best_eigh = _find_best_alphas(X, Y, folds, alphas, False, True, True,
+                                  1e-10, None, method="eigh")
+    np.testing.assert_array_equal(best_chol, best_eigh)
+
+
+def test_chol_search_voxel_chunking_invariance():
+    from litcoder_core_tpu.models.nested_cv import _find_best_alphas
+    from litcoder_core_tpu.models.folding import create_folds
+
+    r = np.random.default_rng(6)
+    t, d, v = 200, 16, 37
+    X = r.normal(size=(t, d)).astype(np.float32)
+    Y = (X @ r.normal(size=(d, v)).astype(np.float32)
+         + r.normal(size=(t, v))).astype(np.float32)
+    folds = create_folds(n_samples=t, fold_type="chunked", n_folds=4,
+                         chunk_length=10, seed=1)
+    alphas = np.logspace(-1, 6, 8)
+    whole = _find_best_alphas(X, Y, folds, alphas, False, True, True,
+                              1e-10, None, method="chol")
+    chunked = _find_best_alphas(X, Y, folds, alphas, False, True, True,
+                                1e-10, 16, method="chol")
+    np.testing.assert_array_equal(whole, chunked)
+
+
+def test_chol_eligibility_gates():
+    from litcoder_core_tpu.models.nested_cv import _chol_search_eligible
+
+    folds = [(np.arange(100), np.arange(100, 120))]
+    a = np.logspace(-1, 8, 10)
+    assert _chol_search_eligible("auto", True, a, folds, 32)
+    assert _chol_search_eligible("chol", False, np.array([0.0]), folds, 32)
+    # short-fat folds: Gram path too costly -> spectral search instead
+    assert not _chol_search_eligible("auto", True, a, folds, 512)
+    assert not _chol_search_eligible("auto", False, a, folds, 32)
+    assert not _chol_search_eligible("auto", True, np.array([1e-3, 1.0]),
+                                     folds, 32)
+    assert not _chol_search_eligible("eigh", True, a, folds, 32)
+
+
+def test_lmax_dense_accuracy():
+    from litcoder_core_tpu.models.ridge import lmax_dense
+
+    r = np.random.default_rng(7)
+    # realistic decaying spectrum AND a flat (clustered) one
+    for spec in (np.logspace(3, -2, 64), np.full(64, 50.0)):
+        Qm, _ = np.linalg.qr(r.normal(size=(64, 64)))
+        G = (Qm * spec) @ Qm.T
+        G = ((G + G.T) / 2).astype(np.float32)
+        true = np.linalg.eigvalsh(G)[-1]
+        est = float(lmax_dense(jnp.asarray(G)))
+        assert abs(est - true) / abs(true) < 1e-4, (spec[0], est, true)
+
+
+def test_nested_cv_model_train_test_uses_chol_and_matches():
+    """NestedCVModel default (method='auto') routes the inner search through
+    the Cholesky path and matches method='eigh' end-to-end."""
+    from litcoder_core_tpu.models.nested_cv import NestedCVModel
+
+    r = np.random.default_rng(8)
+    t, tp, d, v = 300, 60, 24, 40
+    X = r.normal(size=(t, d)).astype(np.float32)
+    wt = r.normal(size=(d, v)).astype(np.float32)
+    Y = (X @ wt + 2 * r.normal(size=(t, v))).astype(np.float32)
+    Xt = r.normal(size=(tp, d)).astype(np.float32)
+    Yt = (Xt @ wt + 2 * r.normal(size=(tp, v))).astype(np.float32)
+
+    m_auto, w_auto, a_auto = NestedCVModel(seed=0).fit_predict(
+        X, Y, X_test=Xt, y_test=Yt, chunk_length=10)
+    m_eigh, w_eigh, a_eigh = NestedCVModel(seed=0).fit_predict(
+        X, Y, X_test=Xt, y_test=Yt, chunk_length=10, method="eigh")
+    np.testing.assert_array_equal(a_auto, a_eigh)
+    np.testing.assert_allclose(m_auto["correlations"], m_eigh["correlations"],
+                               atol=1e-6)
