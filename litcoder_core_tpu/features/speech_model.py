@@ -89,6 +89,7 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         batch_size: int = 8,
         model=None,
         feature_extractor=None,
+        mesh=None,
         **_unused,
     ):
         if pool not in {"last", "mean"}:
@@ -121,6 +122,22 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         self._forward_key = (
             "input_features" if self.model_type == "whisper" else "input_values"
         )
+
+        # 2-D ('data', 'model') mesh: Megatron-style TP placement of the
+        # encoder params + window batches sharded over 'data'
+        # (parallel/tp.py; same contract as the LM extractor).
+        self.mesh = mesh
+        self._sharded_params = None
+        if self.mesh is not None:
+            if self.backend != "flax":
+                raise ValueError(
+                    "mesh-sharded extraction requires the flax backend "
+                    f"(got backend={self.backend!r})"
+                )
+            from litcoder_core_tpu.parallel.tp import shard_lm_params
+
+            self._sharded_params = shard_lm_params(self._model.params,
+                                                   self.mesh)
 
     # ------------------------------------------------------------------ setup
 
@@ -249,10 +266,28 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         for lo in range(0, windows.shape[0], self.batch_size):
             batch = self._prepare_batch(windows[lo:lo + self.batch_size])
             if self.backend == "flax":
+                params = self._model.params
+                n_pad = 0
+                if self.mesh is not None:
+                    from litcoder_core_tpu.parallel.tp import (
+                        pad_batch_rows,
+                        shard_batch,
+                    )
+
+                    params = self._sharded_params
+                    n_pad = pad_batch_rows(batch.shape[0], self.mesh)
+                    if n_pad:
+                        batch = np.concatenate(
+                            [batch,
+                             np.zeros((n_pad,) + batch.shape[1:],
+                                      batch.dtype)]
+                        )
+                    (batch,) = shard_batch((batch,), self.mesh)
                 pooled = np.asarray(
-                    self._flax_forward_fn()(self._model.params, batch),
-                    np.float32,
+                    self._flax_forward_fn()(params, batch), np.float32,
                 )
+                if n_pad:
+                    pooled = pooled[:, :-n_pad, :]
             else:
                 pooled = self._torch_forward(batch)
             pooled_parts.append(pooled)

@@ -42,13 +42,13 @@ MODEL_AXIS = "model"
 # families (q/k/v_proj, llama up/gate), and BERT/T5-style names.
 _COL_PARALLEL = re.compile(
     r"(c_attn|c_fc|q_proj|k_proj|v_proj|query|key|value|gate_proj|up_proj"
-    r"|wi_0|wi_1|wi|fc1|intermediate/dense)(/|$)"
+    r"|wi_0|wi_1|wi|fc1|intermediate/dense|intermediate_dense)(/|$)"
 )
 # Row-parallel: shard the matmul INPUT dim; bias replicates (it is added
 # after the cross-shard reduction).
 _ROW_PARALLEL = re.compile(
     r"(c_proj|o_proj|out_proj|down_proj|wo|fc2|attn/dense|attention/dense"
-    r"|output/dense)(/|$)"
+    r"|output/dense|output_dense)(/|$)"
 )
 # GPT-2's Conv1D modules store kernels TRANSPOSED relative to flax Dense:
 # (out_features, in_features) — HF FlaxGPT2 mirrors torch's Conv1D layout

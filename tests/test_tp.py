@@ -188,3 +188,80 @@ def test_pad_batch_rows():
     mesh = make_lm_mesh(4, 2)
     assert pad_batch_rows(5, mesh) == 3
     assert pad_batch_rows(8, mesh) == 0
+
+
+# ---- speech extractor under a mesh ---------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_speech():
+    from transformers import (
+        FlaxWav2Vec2Model,
+        Wav2Vec2Config,
+        Wav2Vec2FeatureExtractor,
+    )
+
+    cfg = Wav2Vec2Config(
+        hidden_size=16, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=32, conv_dim=(8, 8), conv_kernel=(10, 3),
+        conv_stride=(5, 2), num_feat_extract_layers=2,
+        num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2,
+        do_stable_layer_norm=True, feat_extract_norm="layer",
+    )
+    return FlaxWav2Vec2Model(cfg, seed=0), Wav2Vec2FeatureExtractor()
+
+
+@pytest.fixture(scope="module")
+def wav_file(tmp_path_factory):
+    from scipy.io import wavfile
+
+    sr = 16000
+    wav = (0.1 * np.random.default_rng(3).normal(size=2 * sr)).astype(
+        np.float32)
+    path = str(tmp_path_factory.mktemp("tp_audio") / "story.wav")
+    wavfile.write(path, sr, wav)
+    return path
+
+
+def test_wav2vec2_param_placement_names(tiny_speech):
+    model, _ = tiny_speech
+    mesh = make_lm_mesh(1, 4)
+    placed = shard_lm_params(model.params, mesh)
+    q = placed["encoder"]["layers"]["0"]["attention"]["q_proj"]["kernel"]
+    assert {s.data.shape for s in q.addressable_shards} == {(16, 4)}
+    ff = placed["encoder"]["layers"]["0"]["feed_forward"][
+        "intermediate_dense"]["kernel"]
+    assert {s.data.shape for s in ff.addressable_shards} == {(16, 8)}
+    out = placed["encoder"]["layers"]["0"]["feed_forward"][
+        "output_dense"]["kernel"]
+    assert {s.data.shape for s in out.addressable_shards} == {(8, 16)}
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2)])
+def test_speech_tp_forward_matches_unsharded(tiny_speech, wav_file,
+                                             mesh_shape):
+    from litcoder_core_tpu.features.speech_model import (
+        SpeechFeatureExtractor,
+    )
+
+    model, fe = tiny_speech
+    kw = dict(model_name="tiny-w2v2", chunk_size=0.25, context_size=1.0,
+              model=model, feature_extractor=fe, batch_size=3)
+    base = SpeechFeatureExtractor(**kw)
+    ref_feats, ref_times = base.extract_features(wav_file)
+    tp = SpeechFeatureExtractor(mesh=make_lm_mesh(*mesh_shape), **kw)
+    got_feats, got_times = tp.extract_features(wav_file)
+    np.testing.assert_array_equal(got_times, ref_times)
+    np.testing.assert_allclose(got_feats, ref_feats, atol=1e-4, rtol=1e-4)
+
+
+def test_speech_mesh_requires_flax(tiny_speech):
+    from litcoder_core_tpu.features.speech_model import (
+        SpeechFeatureExtractor,
+    )
+
+    model, fe = tiny_speech
+    with pytest.raises(ValueError, match="requires the flax backend"):
+        SpeechFeatureExtractor(
+            model_name="x", chunk_size=0.1, context_size=1.0, model=model,
+            feature_extractor=fe, backend="torch", mesh=make_lm_mesh(1, 8),
+        )
