@@ -227,13 +227,17 @@ def _fold_chol_factors(Xtr, Xva, alphas, normalpha: bool):
     return jax.lax.map(one_alpha, nal), nal
 
 
-@partial(jax.jit, static_argnames=("use_corr",))
-def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool):
+@partial(jax.jit, static_argnames=("use_corr", "fast_scan"))
+def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool,
+                      fast_scan: bool = False):
     """(A, Vc) fold scores from precomputed solve factors: the only
-    V-dependent work is one X^T Y and the per-alpha prediction matmul."""
+    V-dependent work is one X^T Y and the per-alpha prediction matmul.
+    fast_scan runs the prediction matmuls at default MXU precision (same
+    opt-in contract as models.ridge.score_alpha_grid)."""
     from litcoder_core_tpu.models.ridge import _score_predictions
 
     H = jax.lax.Precision.HIGHEST
+    scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
     Ytr_c = jnp.asarray(Ytr_c, jnp.float32)
     Yva_c = jnp.asarray(Yva_c, jnp.float32)
     XtY = jnp.dot(Xtr.T, Ytr_c, precision=H)  # (D, Vc)
@@ -241,7 +245,7 @@ def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool):
     Pvar = jnp.var(Yva_c, axis=0, ddof=1)
 
     def one_alpha(Z):
-        pred = jnp.dot(Z.T, XtY, precision=H)  # (Tva, Vc)
+        pred = jnp.dot(Z.T, XtY, precision=scan_precision)  # (Tva, Vc)
         return _score_predictions(pred, Yva_c, zP, Pvar, use_corr)
 
     return jax.lax.map(one_alpha, Z_all)
@@ -249,7 +253,8 @@ def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool):
 
 def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
                            use_corr: bool,
-                           voxel_chunk_size: Optional[int]):
+                           voxel_chunk_size: Optional[int],
+                           fast_scan: bool = False):
     """Fold-streaming alpha search: zero eigendecompositions."""
     n_alphas, n_voxels = len(alphas), Y.shape[1]
     X = jnp.asarray(X, jnp.float32)
@@ -263,7 +268,7 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
         for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
             Yc = Y[:, lo:hi]
             parts.append(_score_chunk_chol(Z_all, Xtr, Yc[tr], Yc[va],
-                                           use_corr))
+                                           use_corr, fast_scan))
         corr_sum = corr_sum + jnp.concatenate(parts, axis=1)
     return corr_sum / len(fold_splits)
 
@@ -335,7 +340,7 @@ def _find_best_alphas(
                              X.shape[1]):
         mean_corrs = _find_best_alphas_chol(
             X, Y, fold_splits, alphas_j, normalpha, use_corr,
-            voxel_chunk_size,
+            voxel_chunk_size, fast_scan,
         )
     elif (len(shapes) == 1 and resolved == "eigh"
             and _folds_partition_union(fold_splits)):
