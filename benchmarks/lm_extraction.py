@@ -1,0 +1,94 @@
+"""LM feature-extraction throughput: batched + prefix-chain vs per-text loop.
+
+The reference extracts features ONE TEXT AT A TIME, recomputing the full
+prefix for every word (reference encoding/features/language_model.py:103-118)
+— O(n_words^2) token work on fullcontext stimuli. Ours batches
+length-bucketed windows through jitted Flax forwards and serves every
+member of a prefix chain from one causal forward
+(features/language_model.py). This benchmark measures both on the SAME
+model and stimuli and reports window throughput.
+
+Run: python benchmarks/lm_extraction.py [--n_words 512] [--d_model 256]
+Prints one JSON line.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+class _StubTokenizer:
+    bos_token_id = 1
+    eos_token_id = 2
+    pad_token_id = 0
+
+    def encode(self, text):
+        return [3 + (hash(w) % 500) for w in text.split()]
+
+
+def build_fullcontext_stimuli(n_words: int, lookback_words: int = 128):
+    """Growing-prefix context windows like base_processor fullcontext."""
+    rng = np.random.default_rng(0)
+    words = [f"w{rng.integers(0, 400)}" for _ in range(n_words)]
+    return [" ".join(words[max(0, i + 1 - lookback_words): i + 1])
+            for i in range(n_words)]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--n_words", type=int, default=512)
+    parser.add_argument("--d_model", type=int, default=256)
+    parser.add_argument("--n_layer", type=int, default=4)
+    args = parser.parse_args()
+
+    from transformers import FlaxGPT2Model, GPT2Config
+
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model = FlaxGPT2Model(
+        GPT2Config(vocab_size=600, n_positions=256, n_embd=args.d_model,
+                   n_layer=args.n_layer, n_head=4),
+        seed=0,
+    )
+    stimuli = build_fullcontext_stimuli(args.n_words)
+
+    def make(prefix_sharing, batch_size):
+        return LanguageModelFeatureExtractor({
+            "model_name": "bench-gpt2", "model": model,
+            "tokenizer": _StubTokenizer(), "batch_size": batch_size,
+            "prefix_sharing": prefix_sharing,
+        })
+
+    def timed(ex, tag):
+        ex.extract_all_layers(stimuli[:8])  # warm the compile caches
+        t0 = time.perf_counter()
+        out = ex.extract_all_layers(stimuli)
+        np.asarray(out[0]).sum()  # force
+        return time.perf_counter() - t0
+
+    # Reference style: one window per forward, no sharing.
+    t_loop = timed(make(False, 1), "per-text loop")
+    # Batched, no prefix sharing.
+    t_batch = timed(make(False, 64), "batched")
+    # Batched + prefix chains (the default for causal models).
+    t_chain = timed(make(True, 64), "prefix chains")
+
+    n = args.n_words
+    print(json.dumps({
+        "metric": "lm_extraction_windows_per_sec",
+        "n_windows": n,
+        "per_text_loop_sec": round(t_loop, 2),
+        "batched_sec": round(t_batch, 2),
+        "prefix_chain_sec": round(t_chain, 2),
+        "batched_speedup": round(t_loop / t_batch, 1),
+        "prefix_chain_speedup": round(t_loop / t_chain, 1),
+        "windows_per_sec": round(n / t_chain, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -251,25 +251,61 @@ def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool,
     return jax.lax.map(one_alpha, Z_all)
 
 
+@partial(jax.jit,
+         static_argnames=("normalpha", "use_corr", "chunk", "n_chunks",
+                          "offset", "fast_scan"))
+def _score_fold_chol_all(X, Y, tr, va, alphas, normalpha: bool,
+                         use_corr: bool, chunk: int, n_chunks: int,
+                         offset: int = 0, fast_scan: bool = False):
+    """One fold's (A, n_chunks*chunk) scores in ONE XLA program: factor
+    once, then lax.map over voxel chunks (per-chunk host dispatches were
+    the dominant cost on the tunneled link — cf. _score_all_complement).
+    Y is passed whole; a static offset selects the chunk region so the
+    response matrix is never duplicated on device."""
+    X = jnp.asarray(X, jnp.float32)
+    Xtr = X[tr]
+    Z_all, _ = _fold_chol_factors(Xtr, X[va], alphas, normalpha)
+    t = Y.shape[0]
+
+    def body(c):
+        Yc = jax.lax.dynamic_slice(Y, (0, offset + c * chunk), (t, chunk))
+        return _score_chunk_chol(Z_all, Xtr, Yc[tr], Yc[va], use_corr,
+                                 fast_scan)
+
+    out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
+    return jnp.moveaxis(out, 0, 1).reshape(alphas.shape[0],
+                                           n_chunks * chunk)
+
+
 def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
                            use_corr: bool,
                            voxel_chunk_size: Optional[int],
                            fast_scan: bool = False):
-    """Fold-streaming alpha search: zero eigendecompositions."""
+    """Fold-streaming alpha search: zero eigendecompositions, two XLA
+    dispatches per fold (full chunks + the non-divisible tail)."""
     n_alphas, n_voxels = len(alphas), Y.shape[1]
     X = jnp.asarray(X, jnp.float32)
+    Y = jnp.asarray(Y, jnp.float32)
+    chunk = (voxel_chunk_size if voxel_chunk_size is not None else n_voxels)
+    full = (n_voxels // chunk) * chunk
     corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
     for train_idx, val_idx in fold_splits:
         tr = jnp.asarray(train_idx)
         va = jnp.asarray(val_idx)
-        Xtr = X[tr]
-        Z_all, _ = _fold_chol_factors(Xtr, X[va], alphas, normalpha)
         parts = []
-        for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
-            Yc = Y[:, lo:hi]
-            parts.append(_score_chunk_chol(Z_all, Xtr, Yc[tr], Yc[va],
-                                           use_corr, fast_scan))
-        corr_sum = corr_sum + jnp.concatenate(parts, axis=1)
+        if full:
+            parts.append(_score_fold_chol_all(
+                X, Y, tr, va, alphas, normalpha, use_corr, chunk,
+                full // chunk, 0, fast_scan,
+            ))
+        if n_voxels > full:
+            parts.append(_score_fold_chol_all(
+                X, Y, tr, va, alphas, normalpha, use_corr,
+                n_voxels - full, 1, full, fast_scan,
+            ))
+        fold_scores = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                       else parts[0])
+        corr_sum = corr_sum + fold_scores
     return corr_sum / len(fold_splits)
 
 
