@@ -59,6 +59,23 @@ TRIMMING_PARAMS = [
 ]
 
 
+def _build_mesh(config: Dict[str, Any]):
+    """Build the ('data', 'model') extraction mesh from --tp_data/--tp_model
+    (or return None for single-device extraction). Cached on the config dict
+    so every extractor of one run shares a single mesh."""
+    n_data = config.get("tp_data") or 1
+    n_model = config.get("tp_model") or 1
+    if n_data * n_model <= 1:
+        return None
+    if "_mesh" not in config:
+        from litcoder_core_tpu.parallel.tp import make_lm_mesh
+
+        config["_mesh"] = make_lm_mesh(n_data, n_model)
+        logger.info("Feature-extraction mesh: data=%d, model=%d",
+                    n_data, n_model)
+    return config["_mesh"]
+
+
 def build_feature_config(modality: str, model_name: str,
                          config: Dict[str, Any]) -> Dict[str, Any]:
     """Per-modality extractor config tables (reference: unified.py:133-158).
@@ -67,6 +84,7 @@ def build_feature_config(modality: str, model_name: str,
     last — the run(config) dict API's hook for injecting model/tokenizer
     instances or extra extractor options (offline tests, custom models);
     not reachable from argparse."""
+    mesh = _build_mesh(config)
     if modality == "language_model":
         out = {
             "model_name": model_name,
@@ -74,6 +92,8 @@ def build_feature_config(modality: str, model_name: str,
             "last_token": config["last_token"],
             "lookback": config["lookback"],
         }
+        if mesh is not None:
+            out["mesh"] = mesh
     elif modality == "speech":
         out = {
             "chunk_size": config.get("chunk_size", 0.1),
@@ -82,6 +102,8 @@ def build_feature_config(modality: str, model_name: str,
             "pool": "last",
             "target_sample_rate": 16000,
         }
+        if mesh is not None:
+            out["mesh"] = mesh
     elif modality == "embeddings":
         out = {
             "vector_path": config.get("vector_path"),
@@ -294,6 +316,13 @@ def parse_args(argv=None):
     parser.add_argument("--ndelays", type=int, required=True)
     parser.add_argument("--lookback", type=int, required=True)
     # System
+    parser.add_argument("--tp_data", type=int, default=1,
+                        help="data-parallel extraction mesh axis (batches "
+                             "shard across tp_data devices)")
+    parser.add_argument("--tp_model", type=int, default=1,
+                        help="tensor-parallel extraction mesh axis "
+                             "(LM/speech encoder params shard Megatron-"
+                             "style across tp_model devices)")
     parser.add_argument("--use_gpu", action="store_true",
                         help="Accepted for parity; JAX picks the device")
     parser.add_argument("--cache_dir", type=str, required=True)

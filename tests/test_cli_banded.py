@@ -234,3 +234,37 @@ def test_cli_trimming_flag_changes_structured_shapes(tmp_path, monkeypatch):
     assert shapes_40["Presp_rows"] == 80 - 40 - 5
     assert shapes_30["Presp_rows"] == 80 - 30 - 5
     assert shapes_40["Pstim_rows"] == 80 - 40 - 5
+
+
+def test_cli_tp_mesh_extraction_matches_single_device(tmp_path):
+    """--tp_data/--tp_model build the extraction mesh through the CLI and
+    leave metrics unchanged vs single-device extraction."""
+    assembly = _assembly_with_audio(tmp_path)
+    asm_path = str(tmp_path / "asm_tp.pkl")
+    save_assembly(assembly, asm_path)
+
+    lm, tok = _tiny_lm()
+    base = _banded_config(
+        tmp_path, asm_path, banded=False,
+        modalities=["language_model"], model_names=["tiny-gpt2"],
+        extractor_config_overrides={
+            "language_model": {"model": lm, "tokenizer": tok},
+        },
+    )
+    m_single = run(dict(base, cache_dir=str(tmp_path / "c1"),
+                        results_dir=str(tmp_path / "r1")))
+    m_mesh = run(dict(base, tp_data=2, tp_model=4,
+                      cache_dir=str(tmp_path / "c2"),
+                      results_dir=str(tmp_path / "r2")))
+    assert np.allclose(m_single["median_score"], m_mesh["median_score"],
+                       atol=1e-4)
+    assert m_single["n_significant"] == m_mesh["n_significant"]
+
+
+def test_cli_tp_flags_parse():
+    args = parse_args([
+        "--dataset_type", "lebel", "--modality", "wordrate",
+        "--model_name", "wordrate", "--ndelays", "4", "--lookback", "256",
+        "--cache_dir", "c", "--tp_data", "2", "--tp_model", "4",
+    ])
+    assert args.tp_data == 2 and args.tp_model == 4
