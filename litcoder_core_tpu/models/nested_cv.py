@@ -200,24 +200,19 @@ def _score_all_complement(states, X_union, Y, union_idx, val_pos, alphas,
 # factors never coexist across folds.
 
 
-@partial(jax.jit, static_argnames=("normalpha",))
-def _fold_chol_factors(Xtr, Xva, alphas, normalpha: bool):
+def _chol_factors_from_gram(G, Xva, alphas, normalpha: bool):
     """(Z_all (A, D, Tva), nal (A,)): per-alpha solve factors for one fold,
-    Z_a = (G_tr + nal_a^2 I)^-1 Xva^T."""
+    Z_a = (G_tr + nal_a^2 I)^-1 Xva^T, from the fold's training Gram."""
     from litcoder_core_tpu.models.ridge import lmax_dense
 
-    H = jax.lax.Precision.HIGHEST
-    Xtr = jnp.asarray(Xtr, jnp.float32)
-    Xva = jnp.asarray(Xva, jnp.float32)
     alphas = jnp.asarray(alphas, jnp.float32)
-    G = jnp.dot(Xtr.T, Xtr, precision=H)
     if normalpha:
         s0 = jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0))
         nal = alphas * s0
     else:
         nal = alphas
     eye = jnp.eye(G.shape[0], dtype=jnp.float32)
-    XvaT = Xva.T
+    XvaT = jnp.asarray(Xva, jnp.float32).T
 
     def one_alpha(na):
         L = jnp.linalg.cholesky(G + (na * na) * eye)
@@ -225,6 +220,15 @@ def _fold_chol_factors(Xtr, Xva, alphas, normalpha: bool):
         return jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
 
     return jax.lax.map(one_alpha, nal), nal
+
+
+@partial(jax.jit, static_argnames=("normalpha",))
+def _fold_chol_factors(Xtr, Xva, alphas, normalpha: bool):
+    """Gather-form factors (arbitrary fold structure)."""
+    H = jax.lax.Precision.HIGHEST
+    Xtr = jnp.asarray(Xtr, jnp.float32)
+    G = jnp.dot(Xtr.T, Xtr, precision=H)
+    return _chol_factors_from_gram(G, Xva, alphas, normalpha)
 
 
 @partial(jax.jit, static_argnames=("use_corr", "fast_scan"))
@@ -261,7 +265,8 @@ def _score_fold_chol_all(X, Y, tr, va, alphas, normalpha: bool,
     once, then lax.map over voxel chunks (per-chunk host dispatches were
     the dominant cost on the tunneled link — cf. _score_all_complement).
     Y is passed whole; a static offset selects the chunk region so the
-    response matrix is never duplicated on device."""
+    response matrix is never duplicated on device. Gather form: used when
+    the fold's rows do NOT cover all of X (see the complement variant)."""
     X = jnp.asarray(X, jnp.float32)
     Xtr = X[tr]
     Z_all, _ = _fold_chol_factors(Xtr, X[va], alphas, normalpha)
@@ -277,6 +282,65 @@ def _score_fold_chol_all(X, Y, tr, va, alphas, normalpha: bool,
                                            n_chunks * chunk)
 
 
+@partial(jax.jit,
+         static_argnames=("normalpha", "use_corr", "chunk", "n_chunks",
+                          "offset", "fast_scan"))
+def _score_fold_chol_all_complement(X, G_all, Y, va, alphas,
+                                    normalpha: bool, use_corr: bool,
+                                    chunk: int, n_chunks: int,
+                                    offset: int = 0,
+                                    fast_scan: bool = False):
+    """Complement variant for folds whose train rows = all rows minus the
+    val rows: G_tr = G_all - Xva^T Xva and X_tr^T Yc = X^T Yc - Xva^T Yva,
+    so NO (T_tr, .) gather is ever materialized — at whole-brain scale the
+    gather buffers (hundreds of MB per chunk next to a ~10 GB response
+    matrix) were the difference between fitting in HBM and thrashing.
+    G_all = X^T X is fold-independent and passed in (computed once)."""
+    from litcoder_core_tpu.models.ridge import _score_predictions
+
+    H = jax.lax.Precision.HIGHEST
+    scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
+    X = jnp.asarray(X, jnp.float32)
+    Xva = X[va]
+    G_tr = G_all - jnp.dot(Xva.T, Xva, precision=H)
+    Z_all, _ = _chol_factors_from_gram(G_tr, Xva, alphas, normalpha)
+    t = Y.shape[0]
+
+    def body(c):
+        Yc = jax.lax.dynamic_slice(Y, (0, offset + c * chunk), (t, chunk))
+        Yva_c = Yc[va]
+        XtY = (jnp.dot(X.T, Yc, precision=H)
+               - jnp.dot(Xva.T, Yva_c, precision=H))  # (D, Vc)
+        zP = zscore(Yva_c, axis=0)
+        Pvar = jnp.var(Yva_c, axis=0, ddof=1)
+
+        def one_alpha(Z):
+            pred = jnp.dot(Z.T, XtY, precision=scan_precision)
+            return _score_predictions(pred, Yva_c, zP, Pvar, use_corr)
+
+        return jax.lax.map(one_alpha, Z_all)
+
+    out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
+    return jnp.moveaxis(out, 0, 1).reshape(alphas.shape[0],
+                                           n_chunks * chunk)
+
+
+@jax.jit
+def _full_gram(X):
+    return jnp.dot(X.T, X, precision=jax.lax.Precision.HIGHEST)
+
+
+def _folds_cover_all_rows(fold_splits, n_rows: int) -> bool:
+    """True iff every fold's train + val rows are exactly range(n_rows)."""
+    for tr, va in fold_splits:
+        both = np.concatenate([np.asarray(tr), np.asarray(va)])
+        if both.size != n_rows:
+            return False
+        if not np.array_equal(np.sort(both), np.arange(n_rows)):
+            return False
+    return True
+
+
 def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
                            use_corr: bool,
                            voxel_chunk_size: Optional[int],
@@ -288,21 +352,29 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
     Y = jnp.asarray(Y, jnp.float32)
     chunk = (voxel_chunk_size if voxel_chunk_size is not None else n_voxels)
     full = (n_voxels // chunk) * chunk
+    complement = _folds_cover_all_rows(fold_splits, X.shape[0])
+    G_all = _full_gram(X) if complement else None
+
+    def score_fold(tr, va, c, n_c, off):
+        if complement:
+            return _score_fold_chol_all_complement(
+                X, G_all, Y, va, alphas, normalpha, use_corr, c, n_c, off,
+                fast_scan,
+            )
+        return _score_fold_chol_all(
+            X, Y, tr, va, alphas, normalpha, use_corr, c, n_c, off,
+            fast_scan,
+        )
+
     corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
     for train_idx, val_idx in fold_splits:
         tr = jnp.asarray(train_idx)
         va = jnp.asarray(val_idx)
         parts = []
         if full:
-            parts.append(_score_fold_chol_all(
-                X, Y, tr, va, alphas, normalpha, use_corr, chunk,
-                full // chunk, 0, fast_scan,
-            ))
+            parts.append(score_fold(tr, va, chunk, full // chunk, 0))
         if n_voxels > full:
-            parts.append(_score_fold_chol_all(
-                X, Y, tr, va, alphas, normalpha, use_corr,
-                n_voxels - full, 1, full, fast_scan,
-            ))
+            parts.append(score_fold(tr, va, n_voxels - full, 1, full))
         fold_scores = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                        else parts[0])
         corr_sum = corr_sum + fold_scores

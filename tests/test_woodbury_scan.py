@@ -245,3 +245,47 @@ def test_nested_cv_model_train_test_uses_chol_and_matches():
     np.testing.assert_array_equal(a_auto, a_eigh)
     np.testing.assert_allclose(m_auto["correlations"], m_eigh["correlations"],
                                atol=1e-6)
+
+
+def test_chol_complement_variant_matches_gather_form():
+    """When folds cover all rows, the complement (gather-free) scorer must
+    equal the gather form exactly; forcing the gather form on the same
+    folds is the cross-check."""
+    from litcoder_core_tpu.models.folding import create_folds
+    from litcoder_core_tpu.models.nested_cv import (
+        _folds_cover_all_rows,
+        _find_best_alphas,
+    )
+    import litcoder_core_tpu.models.nested_cv as ncv
+
+    r = np.random.default_rng(9)
+    t, d, v = 400, 32, 45
+    X = r.normal(size=(t, d)).astype(np.float32)
+    Y = (X @ r.normal(size=(d, v)).astype(np.float32)
+         + r.normal(size=(t, v))).astype(np.float32)
+    folds = create_folds(n_samples=t, fold_type="chunked", n_folds=5,
+                         chunk_length=10, seed=0)
+    assert _folds_cover_all_rows(folds, t)
+    alphas = np.logspace(-1, 8, 10)
+    a_complement = _find_best_alphas(X, Y, folds, alphas, False, True,
+                                     True, 1e-10, 16, method="chol")
+
+    # Force the gather form by monkeypatching the coverage check.
+    orig = ncv._folds_cover_all_rows
+    ncv._folds_cover_all_rows = lambda *a: False
+    try:
+        a_gather = _find_best_alphas(X, Y, folds, alphas, False, True,
+                                     True, 1e-10, 16, method="chol")
+    finally:
+        ncv._folds_cover_all_rows = orig
+    np.testing.assert_array_equal(a_complement, a_gather)
+
+
+def test_folds_cover_all_rows_detection():
+    from litcoder_core_tpu.models.nested_cv import _folds_cover_all_rows
+
+    full = [(np.arange(10, 50), np.arange(0, 10))]
+    assert _folds_cover_all_rows(full, 50)
+    # trimmed folds leave gaps -> gather form
+    gap = [(np.arange(12, 50), np.arange(0, 10))]
+    assert not _folds_cover_all_rows(gap, 50)
