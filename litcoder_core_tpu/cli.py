@@ -84,7 +84,6 @@ def build_feature_config(modality: str, model_name: str,
     last — the run(config) dict API's hook for injecting model/tokenizer
     instances or extra extractor options (offline tests, custom models);
     not reachable from argparse."""
-    mesh = _build_mesh(config)
     if modality == "language_model":
         out = {
             "model_name": model_name,
@@ -92,6 +91,9 @@ def build_feature_config(modality: str, model_name: str,
             "last_token": config["last_token"],
             "lookback": config["lookback"],
         }
+        # Mesh built lazily HERE (not for wordrate/embeddings, which never
+        # use it — --tp_* must not fail or silently no-op for those).
+        mesh = _build_mesh(config)
         if mesh is not None:
             out["mesh"] = mesh
     elif modality == "speech":
@@ -102,6 +104,7 @@ def build_feature_config(modality: str, model_name: str,
             "pool": "last",
             "target_sample_rate": 16000,
         }
+        mesh = _build_mesh(config)
         if mesh is not None:
             out["mesh"] = mesh
     elif modality == "embeddings":

@@ -328,16 +328,9 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         """
         if self.mesh is None:
             return arrays, 0
-        from litcoder_core_tpu.parallel.tp import pad_batch_rows, shard_batch
+        from litcoder_core_tpu.parallel.tp import pad_and_shard
 
-        n_pad = pad_batch_rows(arrays[0].shape[0], self.mesh)
-        if n_pad:
-            arrays = tuple(
-                np.concatenate(
-                    [a, np.zeros((n_pad,) + a.shape[1:], a.dtype)]
-                ) for a in arrays
-            )
-        return shard_batch(arrays, self.mesh), n_pad
+        return pad_and_shard(arrays, self.mesh)
 
     def _prefix_sharing_enabled(self) -> bool:
         if self.prefix_sharing in (True, False):

@@ -269,20 +269,10 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
                 params = self._model.params
                 n_pad = 0
                 if self.mesh is not None:
-                    from litcoder_core_tpu.parallel.tp import (
-                        pad_batch_rows,
-                        shard_batch,
-                    )
+                    from litcoder_core_tpu.parallel.tp import pad_and_shard
 
                     params = self._sharded_params
-                    n_pad = pad_batch_rows(batch.shape[0], self.mesh)
-                    if n_pad:
-                        batch = np.concatenate(
-                            [batch,
-                             np.zeros((n_pad,) + batch.shape[1:],
-                                      batch.dtype)]
-                        )
-                    (batch,) = shard_batch((batch,), self.mesh)
+                    (batch,), n_pad = pad_and_shard((batch,), self.mesh)
                 pooled = np.asarray(
                     self._flax_forward_fn()(params, batch), np.float32,
                 )

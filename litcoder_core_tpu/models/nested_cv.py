@@ -255,21 +255,33 @@ def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool,
     return jax.lax.map(one_alpha, Z_all)
 
 
+@partial(jax.jit, static_argnames=("normalpha",))
+def _complement_fold_factors(X, G_all, va, alphas, normalpha: bool):
+    """Complement-form factors: G_tr = G_all - Xva^T Xva; no train gather."""
+    H = jax.lax.Precision.HIGHEST
+    X = jnp.asarray(X, jnp.float32)
+    Xva = X[va]
+    G_tr = G_all - jnp.dot(Xva.T, Xva, precision=H)
+    Z_all, _ = _chol_factors_from_gram(G_tr, Xva, alphas, normalpha)
+    return Z_all
+
+
 @partial(jax.jit,
-         static_argnames=("normalpha", "use_corr", "chunk", "n_chunks",
-                          "offset", "fast_scan"))
-def _score_fold_chol_all(X, Y, tr, va, alphas, normalpha: bool,
-                         use_corr: bool, chunk: int, n_chunks: int,
+         static_argnames=("use_corr", "chunk", "n_chunks", "offset",
+                          "fast_scan"))
+def _score_fold_chol_all(X, Y, tr, va, Z_all, use_corr: bool,
+                         chunk: int, n_chunks: int,
                          offset: int = 0, fast_scan: bool = False):
-    """One fold's (A, n_chunks*chunk) scores in ONE XLA program: factor
-    once, then lax.map over voxel chunks (per-chunk host dispatches were
-    the dominant cost on the tunneled link — cf. _score_all_complement).
-    Y is passed whole; a static offset selects the chunk region so the
-    response matrix is never duplicated on device. Gather form: used when
-    the fold's rows do NOT cover all of X (see the complement variant)."""
+    """One fold's (A, n_chunks*chunk) scores in ONE XLA program from the
+    fold's PRECOMPUTED solve factors (factored once per fold, shared by
+    the full-chunk and tail dispatches), lax.map over voxel chunks
+    (per-chunk host dispatches were the dominant cost on the tunneled
+    link — cf. _score_all_complement). Y is passed whole; a static offset
+    selects the chunk region so the response matrix is never duplicated
+    on device. Gather form: used when the fold's rows do NOT cover all of
+    X (see the complement variant)."""
     X = jnp.asarray(X, jnp.float32)
     Xtr = X[tr]
-    Z_all, _ = _fold_chol_factors(Xtr, X[va], alphas, normalpha)
     t = Y.shape[0]
 
     def body(c):
@@ -278,32 +290,29 @@ def _score_fold_chol_all(X, Y, tr, va, alphas, normalpha: bool,
                                  fast_scan)
 
     out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
-    return jnp.moveaxis(out, 0, 1).reshape(alphas.shape[0],
+    return jnp.moveaxis(out, 0, 1).reshape(Z_all.shape[0],
                                            n_chunks * chunk)
 
 
 @partial(jax.jit,
-         static_argnames=("normalpha", "use_corr", "chunk", "n_chunks",
-                          "offset", "fast_scan"))
-def _score_fold_chol_all_complement(X, G_all, Y, va, alphas,
-                                    normalpha: bool, use_corr: bool,
+         static_argnames=("use_corr", "chunk", "n_chunks", "offset",
+                          "fast_scan"))
+def _score_fold_chol_all_complement(X, Y, va, Z_all, use_corr: bool,
                                     chunk: int, n_chunks: int,
                                     offset: int = 0,
                                     fast_scan: bool = False):
     """Complement variant for folds whose train rows = all rows minus the
-    val rows: G_tr = G_all - Xva^T Xva and X_tr^T Yc = X^T Yc - Xva^T Yva,
-    so NO (T_tr, .) gather is ever materialized — at whole-brain scale the
-    gather buffers (hundreds of MB per chunk next to a ~10 GB response
-    matrix) were the difference between fitting in HBM and thrashing.
-    G_all = X^T X is fold-independent and passed in (computed once)."""
+    val rows: X_tr^T Yc = X^T Yc - Xva^T Yva, so NO (T_tr, .) gather is
+    ever materialized — at whole-brain scale the gather buffers (hundreds
+    of MB per chunk next to a ~10 GB response matrix) were the difference
+    between fitting in HBM and thrashing. Factors come precomputed from
+    _complement_fold_factors (shared by the full-chunk and tail calls)."""
     from litcoder_core_tpu.models.ridge import _score_predictions
 
     H = jax.lax.Precision.HIGHEST
     scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
     X = jnp.asarray(X, jnp.float32)
     Xva = X[va]
-    G_tr = G_all - jnp.dot(Xva.T, Xva, precision=H)
-    Z_all, _ = _chol_factors_from_gram(G_tr, Xva, alphas, normalpha)
     t = Y.shape[0]
 
     def body(c):
@@ -321,7 +330,7 @@ def _score_fold_chol_all_complement(X, G_all, Y, va, alphas,
         return jax.lax.map(one_alpha, Z_all)
 
     out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
-    return jnp.moveaxis(out, 0, 1).reshape(alphas.shape[0],
+    return jnp.moveaxis(out, 0, 1).reshape(Z_all.shape[0],
                                            n_chunks * chunk)
 
 
@@ -355,26 +364,33 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
     complement = _folds_cover_all_rows(fold_splits, X.shape[0])
     G_all = _full_gram(X) if complement else None
 
-    def score_fold(tr, va, c, n_c, off):
-        if complement:
-            return _score_fold_chol_all_complement(
-                X, G_all, Y, va, alphas, normalpha, use_corr, c, n_c, off,
-                fast_scan,
-            )
-        return _score_fold_chol_all(
-            X, Y, tr, va, alphas, normalpha, use_corr, c, n_c, off,
-            fast_scan,
-        )
-
     corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
     for train_idx, val_idx in fold_splits:
         tr = jnp.asarray(train_idx)
         va = jnp.asarray(val_idx)
+        # Factor ONCE per fold; both the full-chunk and tail dispatches
+        # reuse Z_all (refactorizing for the tail would double the
+        # A-Cholesky + Lanczos cost per fold).
+        if complement:
+            Z_all = _complement_fold_factors(X, G_all, va, alphas,
+                                             normalpha)
+        else:
+            Z_all, _ = _fold_chol_factors(X[tr], X[va], alphas, normalpha)
+
+        def score_fold(c, n_c, off):
+            if complement:
+                return _score_fold_chol_all_complement(
+                    X, Y, va, Z_all, use_corr, c, n_c, off, fast_scan,
+                )
+            return _score_fold_chol_all(
+                X, Y, tr, va, Z_all, use_corr, c, n_c, off, fast_scan,
+            )
+
         parts = []
         if full:
-            parts.append(score_fold(tr, va, chunk, full // chunk, 0))
+            parts.append(score_fold(chunk, full // chunk, 0))
         if n_voxels > full:
-            parts.append(score_fold(tr, va, n_voxels - full, 1, full))
+            parts.append(score_fold(n_voxels - full, 1, full))
         fold_scores = (jnp.concatenate(parts, axis=1) if len(parts) > 1
                        else parts[0])
         corr_sum = corr_sum + fold_scores
@@ -382,14 +398,18 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
 
 
 def _chol_search_eligible(method: str, normalpha: bool, alphas,
-                          fold_splits, n_features: int) -> bool:
+                          fold_splits, n_features: int,
+                          singcutoff: float = 1e-10) -> bool:
     """Gate for the Cholesky search: explicit 'chol', or 'auto' when every
-    fold is tall (cost: the D x D Gram must be the small object) and the
+    fold is tall (cost: the D x D Gram must be the small object), the
     alpha grid keeps kappa(G + nal^2 I) ~ 1/min(alpha)^2 f32-safe
-    (>= 0.03 -> kappa <~ 1e3; the reference grid starts at 0.1)."""
+    (>= 0.03 -> kappa <~ 1e3; the reference grid starts at 0.1), and
+    singcutoff is negligible (the spectral paths MASK directions with
+    S <= singcutoff; the Cholesky solve keeps the full spectrum, which is
+    only identical when the cutoff sits below f32 noise)."""
     if method == "chol":
         return True
-    if method != "auto" or not normalpha:
+    if method != "auto" or not normalpha or singcutoff > 1e-10:
         return False
     a = np.asarray(alphas)
     if not (a.size and np.all(a >= 0.03)):
@@ -445,7 +465,7 @@ def _find_best_alphas(
         resolved = "eigh" if ttr >= X.shape[1] else "svd"
 
     if _chol_search_eligible(method, normalpha, alphas, fold_splits,
-                             X.shape[1]):
+                             X.shape[1], singcutoff):
         mean_corrs = _find_best_alphas_chol(
             X, Y, fold_splits, alphas_j, normalpha, use_corr,
             voxel_chunk_size, fast_scan,

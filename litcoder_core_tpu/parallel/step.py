@@ -97,7 +97,8 @@ def nested_cv_step(
                   and train_idx.shape[1] >= X.shape[1])
     if complement and not isinstance(train_idx, jax.core.Tracer):
         complement = _folds_are_complementary(train_idx, val_idx)
-    scan = _resolve_scan_method(method, complement, alphas, normalpha)
+    scan = _resolve_scan_method(method, complement, alphas, normalpha,
+                                singcutoff)
     return _nested_cv_step_impl(
         X, Y, X_test, Y_test, alphas, train_idx, val_idx,
         normalpha=normalpha, use_corr=use_corr, single_alpha=single_alpha,
@@ -107,7 +108,8 @@ def nested_cv_step(
 
 
 def _resolve_scan_method(method: str, complement: bool, alphas,
-                         normalpha: bool) -> str:
+                         normalpha: bool,
+                         singcutoff: float = 1e-10) -> str:
     """Pick the complement-branch scoring kernel.
 
     'woodbury' (union-eigh + per-(fold, alpha) Cholesky downdate — see
@@ -120,13 +122,16 @@ def _resolve_scan_method(method: str, complement: bool, alphas,
     condition number is ~lam_max/nal^2 = 1/a^2, so a >= 0.03 keeps kappa
     below ~10^3 (f32 solve error ~1e-4; the reference grid starts at 0.1).
     method='eigh' keeps the per-fold eigensolve scan; 'woodbury' forces
-    the fast path (caller vouches for the alphas)."""
+    the fast path (caller vouches for the alphas). A non-negligible
+    singcutoff also falls back to eigh: the eigh scan MASKS directions
+    with S <= singcutoff, while the Cholesky solve keeps the full
+    spectrum — identical only when the cutoff is below f32 noise."""
     if not complement:
         return "eigh"
     if method == "woodbury":
         return "woodbury"
-    if method == "auto" and normalpha and not isinstance(
-            alphas, jax.core.Tracer):
+    if method == "auto" and normalpha and singcutoff <= 1e-10 \
+            and not isinstance(alphas, jax.core.Tracer):
         import numpy as np
 
         a = np.asarray(alphas)
@@ -150,6 +155,9 @@ def _nested_cv_step_impl(
     X_test = jnp.asarray(X_test, jnp.float32)
     Y_test = jnp.asarray(Y_test, jnp.float32)
     alphas = jnp.asarray(alphas, jnp.float32)
+    # 'woodbury' names a SCAN kernel, not a spectral method: the refit and
+    # any per-fold spectral fallback must still pick eigh/svd by shape.
+    svd_method = "auto" if method == "woodbury" else method
 
     # --- inner CV: vmapped over folds, whole alpha grid on device ---------
     if complement:
@@ -214,7 +222,7 @@ def _nested_cv_step_impl(
     else:
         def one_fold(tr, va):
             svd = ridge_svd(X[tr], X[va], singcutoff=singcutoff,
-                            method=method)
+                            method=svd_method)
             nal = alphas * svd.S[0] if normalpha else alphas
             return ridge_corr_from_svd(svd, Y[tr], Y[va], nal,
                                        use_corr=use_corr)
@@ -229,7 +237,7 @@ def _nested_cv_step_impl(
         best_alphas = alphas[jnp.argmax(mean_corrs, axis=0)]  # (V,)
 
     # --- refit on the full training set, score held-out --------------------
-    svd_full = ridge_svd(X, None, singcutoff=singcutoff, method=method)
+    svd_full = ridge_svd(X, None, singcutoff=singcutoff, method=svd_method)
     nal = best_alphas * svd_full.S[0] if normalpha else best_alphas
     weights = ridge_fit_from_svd(svd_full, Y, nal)  # (D, V)
     y_pred = jnp.dot(X_test, weights, precision=_HIGHEST)

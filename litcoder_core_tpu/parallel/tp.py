@@ -155,3 +155,18 @@ def pad_batch_rows(n_rows: int, mesh: Mesh) -> int:
     """Rows of padding needed so a batch divides the 'data' axis."""
     d = mesh.shape[DATA_AXIS]
     return (-n_rows) % d
+
+
+def pad_and_shard(arrays, mesh: Mesh):
+    """Pad a tuple of (B, ...) arrays with zero rows to the 'data' extent
+    and shard them. Returns (sharded_arrays, n_pad); callers slice the
+    padding rows off the output batch dim. Zero rows are safe for both
+    extractors: an all-zero attention mask pools position 0 (discarded),
+    and a zero audio window is a valid encoder input (discarded)."""
+    n_pad = pad_batch_rows(arrays[0].shape[0], mesh)
+    if n_pad:
+        arrays = tuple(
+            np.concatenate([a, np.zeros((n_pad,) + a.shape[1:], a.dtype)])
+            for a in arrays
+        )
+    return shard_batch(arrays, mesh), n_pad

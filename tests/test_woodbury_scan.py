@@ -126,6 +126,9 @@ def test_resolve_scan_method_gates():
                                 True) == "eigh"
     assert _resolve_scan_method("auto", True, np.array([1e-2, 1.0]),
                                 True) == "eigh"
+    # non-negligible singcutoff masks spectra in the eigh scan -> eigh
+    assert _resolve_scan_method("auto", True, a, True,
+                                singcutoff=1e-3) == "eigh"
     # explicit overrides
     assert _resolve_scan_method("eigh", True, a, True) == "eigh"
     assert _resolve_scan_method("woodbury", True, a, True) == "woodbury"
@@ -209,6 +212,9 @@ def test_chol_eligibility_gates():
     assert not _chol_search_eligible("auto", True, np.array([1e-3, 1.0]),
                                      folds, 32)
     assert not _chol_search_eligible("eigh", True, a, folds, 32)
+    # non-default singcutoff changes eigh-scan masking -> not eligible
+    assert not _chol_search_eligible("auto", True, a, folds, 32,
+                                     singcutoff=1e-4)
 
 
 def test_lmax_dense_accuracy():
