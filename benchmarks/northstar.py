@@ -19,6 +19,11 @@ def main():
     parser.add_argument("--surface", action="store_true",
                         help="fsaverage5 V=20484 instead of whole-brain")
     parser.add_argument("--voxel_chunk", type=int, default=4096)
+    parser.add_argument("--fast_scan", action="store_true",
+                        help="alpha-scan prediction matmuls at default MXU "
+                             "precision (bf16 passes, fp32 accumulate) — "
+                             "alpha SELECTION tolerates this; refit and "
+                             "final scoring stay full precision")
     args = parser.parse_args()
 
     T, TP, D, A, F, CHUNK = 26880, 2048, 3072, 10, 5, 20
@@ -46,6 +51,7 @@ def main():
             Xd, Yd, X_test=Xtd, y_test=Ytd, chunk_length=CHUNK,
             n_inner_folds=F, alphas=alphas, seed=0,
             voxel_chunk_size=args.voxel_chunk, method="auto",
+            fast_scan=args.fast_scan,
             # Metrics-only (the reference's ModelSaver likewise defaults to
             # save_weights=False) — skips the GB-scale weight fetch.
             return_weights=False,
