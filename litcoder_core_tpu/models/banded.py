@@ -83,6 +83,15 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
 
     shapes = {(len(tr), len(va)) for tr, va in inner_splits}
     tall = T // max(len(inner_splits), 1) * (len(inner_splits) - 1) >= D
+    # Cholesky scan: kills the (gammas x folds) eigensolve grid — the
+    # dominant wall-clock of the banded search on TPU (same gates as the
+    # nested-CV chol search: PD for alpha > 0, kappa ~ 1/min(alpha)^2,
+    # spectral masking only below f32 noise).
+    a_np = np.asarray(alphas)
+    scan = "eigh"
+    if (method in ("auto", "chol") and normalpha and singcutoff <= 1e-10
+            and a_np.size and np.all(a_np >= 0.03)):
+        scan = "chol"
     if len(shapes) != 1 or method == "svd" or not tall:
         # Fallback: direct per-(gamma, fold) factorizations.
         all_scores = []
@@ -105,16 +114,28 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
     scales = jnp.stack([_scale_vector(Xs, g) for g in gammas])  # (G, D)
     return _score_gammas_fast(
         Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha, use_corr,
-        singcutoff,
+        singcutoff, scan,
     )
 
 
 @partial(jax.jit,
-         static_argnames=("normalpha", "use_corr", "singcutoff"))
+         static_argnames=("normalpha", "use_corr", "singcutoff", "scan"))
 def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
-                       normalpha: bool, use_corr: bool, singcutoff: float):
-    """(G, A, V) scores with shared per-fold Grams/cross-products."""
-    from litcoder_core_tpu.models.ridge import score_alpha_grid
+                       normalpha: bool, use_corr: bool, singcutoff: float,
+                       scan: str = "eigh"):
+    """(G, A, V) scores with shared per-fold Grams/cross-products.
+
+    scan='chol' solves each (gamma, alpha) system by Cholesky instead of
+    eigendecomposing per (gamma, fold) — algebraically identical for
+    alpha > 0 (cf. models.nested_cv chol search), with normalpha's S[0]
+    from a Lanczos lambda-max.
+    """
+    from litcoder_core_tpu.models.ridge import (
+        _score_predictions,
+        lmax_dense,
+        score_alpha_grid,
+        zscore,
+    )
 
     H = jax.lax.Precision.HIGHEST
 
@@ -124,22 +145,49 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
         XtY = jnp.dot(Xtr.T, Y[tr], precision=H)       # (D, V), gamma-free
         Yva = Y[va]
 
-        def one_gamma(s):
-            Gg = G_tr * (s[:, None] * s[None, :])
-            evals, evecs = jnp.linalg.eigh(Gg)
-            evals = jnp.flip(evals)
-            evecs = jnp.flip(evecs, axis=1)
-            S = jnp.sqrt(jnp.maximum(evals, 0.0))
-            Vh = evecs.T
-            good = S > singcutoff
-            PVh = jnp.dot(Xva * s[None, :], Vh.T, precision=H)
-            inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
-            UR = inv_s[:, None] * jnp.dot(
-                Vh, s[:, None] * XtY, precision=H
-            )
-            nal = alphas * S[0] if normalpha else alphas
-            return score_alpha_grid(S, good, PVh, UR, Yva, nal,
-                                    use_corr=use_corr)
+        if scan == "chol":
+            zP = zscore(Yva, axis=0)
+            Pvar = jnp.var(Yva, axis=0, ddof=1)
+            eye = jnp.eye(G_tr.shape[0], dtype=jnp.float32)
+
+            def one_gamma(s):
+                Gg = G_tr * (s[:, None] * s[None, :])
+                Xva_s_T = (Xva * s[None, :]).T          # (D, Tva)
+                sXtY = s[:, None] * XtY                 # (D, V)
+                if normalpha:
+                    s0 = jnp.sqrt(jnp.maximum(lmax_dense(Gg), 0.0))
+                    nal = alphas * s0
+                else:
+                    nal = alphas
+
+                def one_alpha(na):
+                    L = jnp.linalg.cholesky(Gg + (na * na) * eye)
+                    Z = jax.scipy.linalg.solve_triangular(
+                        L, Xva_s_T, lower=True)
+                    Z = jax.scipy.linalg.solve_triangular(
+                        L.T, Z, lower=False)            # (D, Tva)
+                    pred = jnp.dot(Z.T, sXtY, precision=H)
+                    return _score_predictions(pred, Yva, zP, Pvar,
+                                              use_corr)
+
+                return jax.lax.map(one_alpha, nal)      # (A, V)
+        else:
+            def one_gamma(s):
+                Gg = G_tr * (s[:, None] * s[None, :])
+                evals, evecs = jnp.linalg.eigh(Gg)
+                evals = jnp.flip(evals)
+                evecs = jnp.flip(evecs, axis=1)
+                S = jnp.sqrt(jnp.maximum(evals, 0.0))
+                Vh = evecs.T
+                good = S > singcutoff
+                PVh = jnp.dot(Xva * s[None, :], Vh.T, precision=H)
+                inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
+                UR = inv_s[:, None] * jnp.dot(
+                    Vh, s[:, None] * XtY, precision=H
+                )
+                nal = alphas * S[0] if normalpha else alphas
+                return score_alpha_grid(S, good, PVh, UR, Yva, nal,
+                                        use_corr=use_corr)
 
         return jax.lax.map(one_gamma, scales)  # (G, A, V)
 

@@ -239,7 +239,12 @@ def score_alpha_grid_woodbury(lam_u, P, UR0, Presp, nalphas,
 def _lanczos_lmax(matvec, v0, m: int):
     """Largest eigenvalue of a symmetric operator via m-step Lanczos with
     full reorthogonalization (f32 Lanczos loses orthogonality fast without
-    it). Deterministic: fixed start vector, fixed step count."""
+    it). Deterministic: fixed start vector, fixed step count. m is clamped
+    to the operator dimension, and Krylov breakdown (the invariant
+    subspace is exhausted, beta ~ 0) zeroes the remaining iterations —
+    dividing a near-zero residual by its norm would inject junk directions
+    whose Ritz values can exceed the true spectrum."""
+    m = min(m, v0.shape[0])
     v0 = v0 / jnp.maximum(jnp.linalg.norm(v0), 1e-30)
     basis = jnp.zeros((m, v0.shape[0]), jnp.float32)
     diag = jnp.zeros(m, jnp.float32)
@@ -253,7 +258,9 @@ def _lanczos_lmax(matvec, v0, m: int):
         w = w - jnp.dot(basis.T, jnp.dot(basis, w, precision=_HIGHEST),
                         precision=_HIGHEST)
         b = jnp.linalg.norm(w)
-        v_next = w / jnp.maximum(b, 1e-30)
+        alive = b > 1e-12 * jnp.maximum(jnp.abs(a), 1.0)
+        v_next = jnp.where(alive, w / jnp.maximum(b, 1e-30), 0.0)
+        b = jnp.where(alive, b, 0.0)
         return (basis.at[i].set(v), diag.at[i].set(a), off.at[i].set(b),
                 v_next, v, b)
 

@@ -295,3 +295,30 @@ def test_folds_cover_all_rows_detection():
     # trimmed folds leave gaps -> gather form
     gap = [(np.arange(12, 50), np.arange(0, 10))]
     assert not _folds_cover_all_rows(gap, 50)
+
+
+def test_banded_gamma_scores_chol_matches_eigh():
+    """Banded fast path: the Cholesky (gamma, alpha) scan must match the
+    per-(gamma, fold) eigensolve scan and select the same bands."""
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    r = np.random.default_rng(12)
+    t, tp, v = 300, 60, 30
+    X1 = r.normal(size=(t, 12)).astype(np.float32)
+    X2 = r.normal(size=(t, 8)).astype(np.float32)
+    w1 = r.normal(size=(12, v)).astype(np.float32)
+    Y = (X1 @ w1 + 0.5 * r.normal(size=(t, v))).astype(np.float32)
+    Xt1 = r.normal(size=(tp, 12)).astype(np.float32)
+    Xt2 = r.normal(size=(tp, 8)).astype(np.float32)
+    Yt = (Xt1 @ w1 + 0.5 * r.normal(size=(tp, v))).astype(np.float32)
+
+    kw = dict(X_tests=[Xt1, Xt2], y_test=Yt, n_gammas=3,
+              chunk_length=10, n_inner_folds=3, seed=0)
+    m_chol, w_chol, a_chol, g_chol = fit_banded_ridge(
+        [X1, X2], Y, method="auto", **kw)
+    m_eigh, w_eigh, a_eigh, g_eigh = fit_banded_ridge(
+        [X1, X2], Y, method="eigh", **kw)
+    np.testing.assert_array_equal(a_chol, a_eigh)
+    np.testing.assert_array_equal(g_chol, g_eigh)
+    np.testing.assert_allclose(m_chol["correlations"],
+                               m_eigh["correlations"], atol=1e-5)
