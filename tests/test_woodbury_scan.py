@@ -322,3 +322,22 @@ def test_banded_gamma_scores_chol_matches_eigh():
     np.testing.assert_array_equal(g_chol, g_eigh)
     np.testing.assert_allclose(m_chol["correlations"],
                                m_eigh["correlations"], atol=1e-5)
+
+
+def test_full_cv_mode_chol_matches_eigh():
+    """Full nested-CV mode (outer folds): default 'auto' inner searches run
+    eigensolve-free and match method='eigh' end to end."""
+    from litcoder_core_tpu.models.nested_cv import fit_nested_cv
+
+    r = np.random.default_rng(13)
+    t, d, v = 360, 20, 25
+    X = r.normal(size=(t, d)).astype(np.float32)
+    Y = (X @ r.normal(size=(d, v)).astype(np.float32)
+         + r.normal(size=(t, v))).astype(np.float32)
+    kw = dict(n_outer_folds=3, n_inner_folds=3, chunk_length=10, seed=0)
+    m_auto, _, a_auto = fit_nested_cv(X, Y, method="auto", **kw)
+    m_eigh, _, a_eigh = fit_nested_cv(X, Y, method="eigh", **kw)
+    np.testing.assert_allclose(a_auto, a_eigh, rtol=1e-6)
+    np.testing.assert_allclose(m_auto["correlations"],
+                               m_eigh["correlations"], atol=1e-5)
+    assert m_auto["n_significant"] == m_eigh["n_significant"]
