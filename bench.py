@@ -152,6 +152,8 @@ def main():
 
     try:
         vs_baseline = load_or_measure_baseline() / wall_ours
+    except AssertionError:
+        raise  # stale pinned baseline: fail loudly, don't report null
     except Exception:
         vs_baseline = None
 

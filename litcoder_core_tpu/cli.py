@@ -204,6 +204,17 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
                 "(lebel); LPP/narratives use concatenated full-CV "
                 "structuring, which banded ridge does not support"
             )
+        # Refuse flags banded ridge cannot honor rather than dropping them
+        # silently (banded has no DataNormalizer hook; per-voxel
+        # (gamma, alpha) selection is inherent, so --no_single_alpha is
+        # the only — and default — behavior).
+        if config.get("normalize_features") or config.get(
+                "normalize_targets"):
+            raise ValueError(
+                "--normalize_features/--normalize_targets are not "
+                "supported with --banded (banded ridge has no "
+                "DataNormalizer hook)"
+            )
         from litcoder_core_tpu.models.banded import BandedRidgeModel
 
         model = BandedRidgeModel(seed=config.get("seed", 0),

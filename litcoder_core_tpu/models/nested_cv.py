@@ -581,43 +581,48 @@ def _fit_and_score(
         Y_te = jnp.asarray(Y_test, jnp.float32)
         Xte = jnp.asarray(X_test, jnp.float32)
         full = (n_voxels // chunk) * chunk
-        corr_parts, pval_parts = [], []
+        corr_parts = []
         if full:
-            c, pv = _refit_score_all(svd, Y_tr, Y_te, Xte, nalphas,
-                                     chunk, full // chunk, 0)
-            corr_parts.append(c)
-            pval_parts.append(pv)
+            corr_parts.append(_refit_score_all(svd, Y_tr, Y_te, Xte,
+                                               nalphas, chunk,
+                                               full // chunk, 0))
         if n_voxels > full:
-            c, pv = _refit_score_all(svd, Y_tr, Y_te, Xte, nalphas,
-                                     n_voxels - full, 1, full)
-            corr_parts.append(c)
-            pval_parts.append(pv)
-        return (None,
-                np.asarray(jnp.concatenate(corr_parts)),
-                np.asarray(jnp.concatenate(pval_parts)))
+            corr_parts.append(_refit_score_all(svd, Y_tr, Y_te, Xte,
+                                               nalphas, n_voxels - full,
+                                               1, full))
+        correlations = np.asarray(jnp.concatenate(corr_parts))
+        return (None, correlations,
+                pearson_pvalues_f64(correlations, Y_test.shape[0]))
 
     # Dispatch every chunk asynchronously; fetch results ONCE at the end
-    # (per-chunk np.asarray would serialize on host round trips).
-    wt_parts, corr_parts, pval_parts = [], [], []
+    # (per-chunk np.asarray would serialize on host round trips). p-values
+    # come from the float64 host tail, not the device float32 betainc.
+    from litcoder_core_tpu.ops.stats import pearson_r
+
+    wt_parts, corr_parts = [], []
     for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
         wt = ridge_fit_from_svd(svd, Y_train[:, lo:hi], nalphas[lo:hi])
         y_pred = predict(X_test, wt)
-        corr, pval = pearson_r_pvalues(Y_test[:, lo:hi], y_pred)
         wt_parts.append(wt)
-        corr_parts.append(corr)
-        pval_parts.append(pval)
+        corr_parts.append(pearson_r(Y_test[:, lo:hi], y_pred))
+    correlations = np.asarray(jnp.concatenate(corr_parts))
     return (
         np.asarray(jnp.concatenate(wt_parts, axis=1)),
-        np.asarray(jnp.concatenate(corr_parts)),
-        np.asarray(jnp.concatenate(pval_parts)),
+        correlations,
+        pearson_pvalues_f64(correlations, Y_test.shape[0]),
     )
 
 
 @partial(jax.jit, static_argnames=("chunk", "n_chunks", "offset"))
 def _refit_score_all(svd, Y_train, Y_test, X_test, nalphas, chunk: int,
                      n_chunks: int, offset: int = 0):
-    """(corr, pval) for voxels [offset, offset+n_chunks*chunk) in one XLA
-    program (Y passed whole — see _score_all_complement)."""
+    """(corr,) for voxels [offset, offset+n_chunks*chunk) in one XLA
+    program (Y passed whole — see _score_all_complement). Correlations
+    only: the model layer recomputes p-values in float64 on host
+    (decision-grade tails), so device p-values here would be computed,
+    transferred, and thrown away."""
+    from litcoder_core_tpu.ops.stats import pearson_r
+
     tu = Y_train.shape[0]
     tp = Y_test.shape[0]
 
@@ -628,10 +633,10 @@ def _refit_score_all(svd, Y_train, Y_test, X_test, nalphas, chunk: int,
         nac = jax.lax.dynamic_slice(nalphas, (start,), (chunk,))
         wt = ridge_fit_from_svd(svd, Yc, nac)
         y_pred = predict(X_test, wt)
-        return pearson_r_pvalues(Ytc, y_pred)
+        return pearson_r(Ytc, y_pred)
 
-    corr, pval = jax.lax.map(body, jnp.arange(n_chunks))
-    return corr.reshape(n_chunks * chunk), pval.reshape(n_chunks * chunk)
+    corr = jax.lax.map(body, jnp.arange(n_chunks))
+    return corr.reshape(n_chunks * chunk)
 
 
 def fit_nested_cv(
@@ -710,9 +715,8 @@ def fit_nested_cv(
             normalpha, singcutoff, voxel_chunk_size, method,
             return_weights=return_weights,
         )
-        # Decision-grade tail: float64 host p-values (the device float32
-        # betainc underflows to 0 near |r|=1, perturbing BH thresholds).
-        pvalues = pearson_pvalues_f64(correlations, y_test_j.shape[0])
+        # pvalues already carry the decision-grade float64 host tail
+        # (_fit_and_score computes them from the fetched correlations).
         significant, corrected_pvals = bh_fdrcorrection_np(
             pvalues, alpha=alpha_fdr
         )
@@ -777,7 +781,7 @@ def fit_nested_cv(
         )
         if return_weights:
             fold_weights.append(wt)
-        pvalues = pearson_pvalues_f64(correlations, len(test_idx))
+        # pvalues are float64 host-tail values from _fit_and_score.
         fold_scores.append(correlations)
         fold_pvalues.append(pvalues)
 

@@ -186,6 +186,12 @@ class AbstractTrainer:
             return False
         eligible = (
             self.downsample_config.get("method") == "lanczos"
+            # The two-stage Downsampler declares window/cutoff_mult
+            # REQUIRED for lanczos; the fused path must not mask a missing
+            # parameter by inventing defaults — fall through to the
+            # two-stage path, which raises the proper error.
+            and "window" in self.downsample_config
+            and "cutoff_mult" in self.downsample_config
             and not self.downsample_config.get("rectify", False)
             and bool(self.fir_delays)
             and all(int(d) > 0 for d in self.fir_delays)
@@ -193,8 +199,9 @@ class AbstractTrainer:
         if self.fused_downsample_fir is True and not eligible:
             raise ValueError(
                 "fused_downsample_fir=True requires downsample method "
-                "'lanczos' (rectify=False) and strictly positive fir_delays; "
-                f"got method={self.downsample_config.get('method')!r}, "
+                "'lanczos' (rectify=False) with explicit window/"
+                "cutoff_mult and strictly positive fir_delays; got "
+                f"config={self.downsample_config!r}, "
                 f"delays={self.fir_delays}"
             )
         return eligible
@@ -229,8 +236,8 @@ class AbstractTrainer:
 
         delays = [int(d) for d in self.fir_delays]
         n_delays = len(delays)
-        window = self.downsample_config.get("window", 3)
-        cutoff_mult = self.downsample_config.get("cutoff_mult", 1.0)
+        window = self.downsample_config["window"]         # required
+        cutoff_mult = self.downsample_config["cutoff_mult"]  # required
 
         all_delayed = {}
         for story in self.stories_to_process:

@@ -15,6 +15,13 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 _NAME_RE = re.compile(r"\blitcoder_core_tpu(?:\.[A-Za-z_][A-Za-z0-9_]*)+")
+# `from litcoder_core_tpu.x import a, b` / `from litcoder_core_tpu import (
+#     a, b)` in doc code blocks — the names most README/tutorial snippets
+# actually use. The import list may span lines inside parentheses.
+_FROM_RE = re.compile(
+    r"from\s+(litcoder_core_tpu(?:\.[A-Za-z_][A-Za-z0-9_]*)*)\s+import\s+"
+    r"(\([^)]*\)|[^\n]+)"
+)
 
 
 def _documented_names():
@@ -27,9 +34,17 @@ def _documented_names():
     ]
     for path in doc_files:
         with open(path) as f:
-            for m in _NAME_RE.finditer(f.read()):
-                names.add(m.group(0))
-    assert len(names) > 30  # the docs really do name the API surface
+            text = f.read()
+        for m in _NAME_RE.finditer(text):
+            names.add(m.group(0))
+        for m in _FROM_RE.finditer(text):
+            module, imports = m.group(1), m.group(2)
+            imports = imports.strip("()")
+            for item in imports.split(","):
+                item = item.strip().split(" as ")[0].strip()
+                if item and item.isidentifier():
+                    names.add(f"{module}.{item}")
+    assert len(names) > 60  # the docs really do name the API surface
     return sorted(names)
 
 
