@@ -244,7 +244,9 @@ def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool,
     scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
     Ytr_c = jnp.asarray(Ytr_c, jnp.float32)
     Yva_c = jnp.asarray(Yva_c, jnp.float32)
-    XtY = jnp.dot(Xtr.T, Ytr_c, precision=H)  # (D, Vc)
+    # Search-side X^T Y feeds only the alpha argmax -> joins fast_scan
+    # (the refit recomputes its own cross-products at full precision).
+    XtY = jnp.dot(Xtr.T, Ytr_c, precision=scan_precision)  # (D, Vc)
     zP = zscore(Yva_c, axis=0)
     Pvar = jnp.var(Yva_c, axis=0, ddof=1)
 
@@ -318,8 +320,9 @@ def _score_fold_chol_all_complement(X, Y, va, Z_all, use_corr: bool,
     def body(c):
         Yc = jax.lax.dynamic_slice(Y, (0, offset + c * chunk), (t, chunk))
         Yva_c = Yc[va]
-        XtY = (jnp.dot(X.T, Yc, precision=H)
-               - jnp.dot(Xva.T, Yva_c, precision=H))  # (D, Vc)
+        # Search-side X^T Y feeds only the alpha argmax -> joins fast_scan.
+        XtY = (jnp.dot(X.T, Yc, precision=scan_precision)
+               - jnp.dot(Xva.T, Yva_c, precision=scan_precision))  # (D, Vc)
         zP = zscore(Yva_c, axis=0)
         Pvar = jnp.var(Yva_c, axis=0, ddof=1)
 

@@ -341,3 +341,25 @@ def test_full_cv_mode_chol_matches_eigh():
     np.testing.assert_allclose(m_auto["correlations"],
                                m_eigh["correlations"], atol=1e-5)
     assert m_auto["n_significant"] == m_eigh["n_significant"]
+
+
+def test_chol_fast_scan_selects_same_alphas():
+    """fast_scan (default-precision scan + search XtY) is an argmax over
+    smooth curves — selection must match full precision on a
+    well-conditioned problem."""
+    from litcoder_core_tpu.models.folding import create_folds
+    from litcoder_core_tpu.models.nested_cv import _find_best_alphas
+
+    r = np.random.default_rng(14)
+    t, d, v = 300, 24, 40
+    X = r.normal(size=(t, d)).astype(np.float32)
+    Y = (X @ r.normal(size=(d, v)).astype(np.float32)
+         + 0.5 * r.normal(size=(t, v))).astype(np.float32)
+    folds = create_folds(n_samples=t, fold_type="chunked", n_folds=3,
+                         chunk_length=10, seed=0)
+    alphas = np.logspace(-1, 8, 10)
+    slow = _find_best_alphas(X, Y, folds, alphas, False, True, True,
+                             1e-10, None, method="chol")
+    fast = _find_best_alphas(X, Y, folds, alphas, False, True, True,
+                             1e-10, None, method="chol", fast_scan=True)
+    assert np.mean(slow == fast) > 0.95  # ties may flip; selection stable
