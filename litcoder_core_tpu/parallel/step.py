@@ -71,7 +71,7 @@ def nested_cv_step(
     X, Y, X_test, Y_test, alphas, train_idx, val_idx,
     normalpha: bool = True, use_corr: bool = True,
     single_alpha: bool = False, singcutoff: float = 1e-10,
-    method: str = "auto",
+    method: str = "auto", fast_scan: bool = False,
 ) -> NestedCVResult:
     """Full train/test nested-CV ridge fit in one XLA program.
 
@@ -103,7 +103,7 @@ def nested_cv_step(
         X, Y, X_test, Y_test, alphas, train_idx, val_idx,
         normalpha=normalpha, use_corr=use_corr, single_alpha=single_alpha,
         singcutoff=singcutoff, method=method, complement=complement,
-        scan=scan,
+        scan=scan, fast_scan=fast_scan,
     )
 
 
@@ -143,12 +143,13 @@ def _resolve_scan_method(method: str, complement: bool, alphas,
 @partial(
     jax.jit,
     static_argnames=("normalpha", "use_corr", "single_alpha", "singcutoff",
-                     "method", "complement", "scan"),
+                     "method", "complement", "scan", "fast_scan"),
 )
 def _nested_cv_step_impl(
     X, Y, X_test, Y_test, alphas, train_idx, val_idx,
     normalpha: bool, use_corr: bool, single_alpha: bool, singcutoff: float,
     method: str, complement: bool, scan: str = "eigh",
+    fast_scan: bool = False,
 ) -> NestedCVResult:
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
@@ -200,7 +201,8 @@ def _nested_cv_step_impl(
                 else:
                     nal = alphas
                 return score_alpha_grid_woodbury(lam_u, P, UR0, Yva, nal,
-                                                 use_corr=use_corr)
+                                                 use_corr=use_corr,
+                                                 fast_scan=fast_scan)
         else:
             def one_fold(va, vp):
                 Xva = X[va]
@@ -216,7 +218,8 @@ def _nested_cv_step_impl(
                 UR = inv_s[:, None] * jnp.dot(Vh, XtY_tr, precision=H)
                 nal = alphas * S[0] if normalpha else alphas
                 return score_alpha_grid(S, good, PVh, UR, Yva, nal,
-                                        use_corr=use_corr)
+                                        use_corr=use_corr,
+                                        fast_scan=fast_scan)
 
         fold_corrs = jax.vmap(one_fold)(val_idx, val_pos)  # (F, A, V)
     else:
