@@ -621,3 +621,44 @@ def test_device_resident_auto_trains_end_to_end(assembly, tmp_path):
     assert np.allclose(m_dev["median_score"], m_host["median_score"],
                        atol=1e-4)
     assert m_dev["n_significant"] == m_host["n_significant"]
+
+
+# ------------------------------------------------------------- edge shapes
+
+
+def test_single_voxel_fit():
+    """V=1 end to end: correlations/pvalues keep (1,) shapes, no NaNs."""
+    from litcoder_core_tpu.models.nested_cv import NestedCVModel
+
+    r = np.random.default_rng(21)
+    X = r.normal(size=(200, 8)).astype(np.float32)
+    w = r.normal(size=(8, 1)).astype(np.float32)
+    Y = (X @ w + r.normal(size=(200, 1))).astype(np.float32)
+    Xt = r.normal(size=(40, 8)).astype(np.float32)
+    Yt = (Xt @ w + r.normal(size=(40, 1))).astype(np.float32)
+    m, wt, a = NestedCVModel(seed=0).fit_predict(
+        X, Y, X_test=Xt, y_test=Yt, chunk_length=10)
+    assert np.asarray(m["correlations"]).shape == (1,)
+    assert np.isfinite(m["median_score"])
+    assert wt.shape == (8, 1) and a.shape == (1,)
+
+
+def test_two_story_train_test_split(assembly, tmp_path):
+    """Minimum viable train/test split: one train story + one test story."""
+    wordrate = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}
+    )
+    t = AbstractTrainer(
+        assembly=assembly,
+        feature_extractors=[wordrate],
+        downsampler=Downsampler(),
+        model=NestedCVModel(seed=0),
+        fir_delays=[1, 2],
+        trimming_config={},
+        use_train_test_split=True,
+        story_selection=[assembly.stories[0], assembly.stories[1]],
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+    )
+    m = t.train(chunk_length=10, n_inner_folds=3)
+    assert np.isfinite(m["median_score"])
