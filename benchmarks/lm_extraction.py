@@ -19,13 +19,7 @@ import time
 import numpy as np
 
 
-class _StubTokenizer:
-    bos_token_id = 1
-    eos_token_id = 2
-    pad_token_id = 0
-
-    def encode(self, text):
-        return [3 + (hash(w) % 500) for w in text.split()]
+from litcoder_core_tpu.utils.testing import HashStubTokenizer
 
 
 def build_fullcontext_stimuli(n_words: int, lookback_words: int = 128):
@@ -59,7 +53,7 @@ def main():
     def make(prefix_sharing, batch_size):
         return LanguageModelFeatureExtractor({
             "model_name": "bench-gpt2", "model": model,
-            "tokenizer": _StubTokenizer(), "batch_size": batch_size,
+            "tokenizer": HashStubTokenizer(), "batch_size": batch_size,
             "prefix_sharing": prefix_sharing,
         })
 

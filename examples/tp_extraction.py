@@ -27,17 +27,6 @@ if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-class DemoTokenizer:
-    """Whitespace stub standing in for a real tokenizer (no downloads)."""
-
-    bos_token_id = 1
-    eos_token_id = 2
-    pad_token_id = 0
-
-    def encode(self, text):
-        return [3 + (hash(w) % 500) for w in text.split()]
-
-
 def make_assembly(n_stories=3, n_trs=80, n_vox=64, seed=0):
     from litcoder_core_tpu import SimpleNeuroidAssembly, StoryData
 
@@ -70,6 +59,7 @@ def main():
     from litcoder_core_tpu import AbstractTrainer, Downsampler, NestedCVModel
     from litcoder_core_tpu.features.factory import FeatureExtractorFactory
     from litcoder_core_tpu.parallel.tp import make_lm_mesh
+    from litcoder_core_tpu.utils.testing import HashStubTokenizer
 
     n = len(jax.devices())
     n_data = 2 if n % 2 == 0 and n >= 2 else 1
@@ -86,7 +76,7 @@ def main():
     )
     extractor = FeatureExtractorFactory.create_extractor(
         modality="language_model", model_name="demo-gpt2",
-        config={"model": model, "tokenizer": DemoTokenizer(), "mesh": mesh,
+        config={"model": model, "tokenizer": HashStubTokenizer(), "mesh": mesh,
                 "layer_idx": 1},
         cache_dir="cache_demo",
     )

@@ -31,7 +31,11 @@ from litcoder_core_tpu.models.ridge import (
     ridge_svd,
     predict,
 )
-from litcoder_core_tpu.ops.stats import bh_fdrcorrection, pearson_r_pvalues
+from litcoder_core_tpu.ops.stats import (
+    bh_fdrcorrection_np,
+    pearson_pvalues_f64,
+    pearson_r,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -101,7 +105,8 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
             for train_idx, val_idx in inner_splits:
                 tr, va = jnp.asarray(train_idx), jnp.asarray(val_idx)
                 svd = ridge_svd(Xg[tr], Xg[va], singcutoff=singcutoff,
-                                method=method)
+                                method="auto" if method == "chol"
+                                else method)
                 nal = alphas_j * svd.S[0] if normalpha else alphas_j
                 corr_sum = corr_sum + ridge_corr_from_svd(
                     svd, Y_j[tr], Y_j[va], nal, use_corr=use_corr
@@ -257,7 +262,10 @@ def fit_banded_ridge(
     for g_idx in np.unique(best_g):
         sel = np.nonzero(best_g == g_idx)[0]
         Xg = _scale_bands(Xs, gammas[g_idx])
-        svd = ridge_svd(Xg, None, singcutoff=singcutoff, method=method)
+        # 'chol' names the SEARCH kernel; the refit needs a spectral basis
+        # picked by shape (cf. nested_cv._fit_and_score).
+        svd_method = "auto" if method == "chol" else method
+        svd = ridge_svd(Xg, None, singcutoff=singcutoff, method=svd_method)
         val = jnp.asarray(best_alphas[sel], jnp.float32)
         nal = val * svd.S[0] if normalpha else val
         wt = np.asarray(ridge_fit_from_svd(svd, Y_j[:, jnp.asarray(sel)], nal))
@@ -275,12 +283,13 @@ def fit_banded_ridge(
             [np.asarray(X, np.float32) for X in X_tests], axis=1
         )
         y_pred = np.asarray(predict(X_test, weights))
-        corr, pval = pearson_r_pvalues(jnp.asarray(y_test, jnp.float32),
-                                       jnp.asarray(y_pred))
-        corr, pval = np.asarray(corr), np.asarray(pval)
-        significant, corrected = map(
-            np.asarray, bh_fdrcorrection(jnp.asarray(pval), alpha=alpha_fdr)
-        )
+        corr = np.asarray(pearson_r(jnp.asarray(y_test, jnp.float32),
+                                    jnp.asarray(y_pred)))
+        # Decision-grade tails in float64 on host: the device float32
+        # betainc underflows to 0 near |r|=1 at real test lengths,
+        # saturating and reordering BH decisions (cf. nested_cv).
+        pval = pearson_pvalues_f64(corr, y_test.shape[0])
+        significant, corrected = bh_fdrcorrection_np(pval, alpha=alpha_fdr)
         n_sig = int(significant.sum())
         metrics.update({
             "median_score": float(np.median(corr)),

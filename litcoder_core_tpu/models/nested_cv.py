@@ -37,7 +37,6 @@ from litcoder_core_tpu.ops.stats import (
     bh_fdrcorrection_np,
     fisher_combine_pvalues_f64,
     pearson_pvalues_f64,
-    pearson_r_pvalues,
     zscore,
 )
 
@@ -231,22 +230,12 @@ def _fold_chol_factors(Xtr, Xva, alphas, normalpha: bool):
     return _chol_factors_from_gram(G, Xva, alphas, normalpha)
 
 
-@partial(jax.jit, static_argnames=("use_corr", "fast_scan"))
-def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool,
-                      fast_scan: bool = False):
-    """(A, Vc) fold scores from precomputed solve factors: the only
-    V-dependent work is one X^T Y and the per-alpha prediction matmul.
-    fast_scan runs the prediction matmuls at default MXU precision (same
-    opt-in contract as models.ridge.score_alpha_grid)."""
+def _score_alphas_from_factors(Z_all, XtY, Yva_c, use_corr: bool,
+                               scan_precision):
+    """(A, Vc) scores shared by the gather/complement chol scorers: per
+    alpha, pred = Z_a^T XtY scored against the val responses."""
     from litcoder_core_tpu.models.ridge import _score_predictions
 
-    H = jax.lax.Precision.HIGHEST
-    scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
-    Ytr_c = jnp.asarray(Ytr_c, jnp.float32)
-    Yva_c = jnp.asarray(Yva_c, jnp.float32)
-    # Search-side X^T Y feeds only the alpha argmax -> joins fast_scan
-    # (the refit recomputes its own cross-products at full precision).
-    XtY = jnp.dot(Xtr.T, Ytr_c, precision=scan_precision)  # (D, Vc)
     zP = zscore(Yva_c, axis=0)
     Pvar = jnp.var(Yva_c, axis=0, ddof=1)
 
@@ -255,6 +244,24 @@ def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool,
         return _score_predictions(pred, Yva_c, zP, Pvar, use_corr)
 
     return jax.lax.map(one_alpha, Z_all)
+
+
+@partial(jax.jit, static_argnames=("use_corr", "fast_scan"))
+def _score_chunk_chol(Z_all, Xtr, Ytr_c, Yva_c, use_corr: bool,
+                      fast_scan: bool = False):
+    """(A, Vc) fold scores from precomputed solve factors: the only
+    V-dependent work is one X^T Y and the per-alpha prediction matmul.
+    fast_scan runs the prediction matmuls at default MXU precision (same
+    opt-in contract as models.ridge.score_alpha_grid)."""
+    H = jax.lax.Precision.HIGHEST
+    scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
+    Ytr_c = jnp.asarray(Ytr_c, jnp.float32)
+    Yva_c = jnp.asarray(Yva_c, jnp.float32)
+    # Search-side X^T Y feeds only the alpha argmax -> joins fast_scan
+    # (the refit recomputes its own cross-products at full precision).
+    XtY = jnp.dot(Xtr.T, Ytr_c, precision=scan_precision)  # (D, Vc)
+    return _score_alphas_from_factors(Z_all, XtY, Yva_c, use_corr,
+                                      scan_precision)
 
 
 @partial(jax.jit, static_argnames=("normalpha",))
@@ -309,8 +316,6 @@ def _score_fold_chol_all_complement(X, Y, va, Z_all, use_corr: bool,
     of MB per chunk next to a ~10 GB response matrix) were the difference
     between fitting in HBM and thrashing. Factors come precomputed from
     _complement_fold_factors (shared by the full-chunk and tail calls)."""
-    from litcoder_core_tpu.models.ridge import _score_predictions
-
     H = jax.lax.Precision.HIGHEST
     scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
     X = jnp.asarray(X, jnp.float32)
@@ -323,14 +328,8 @@ def _score_fold_chol_all_complement(X, Y, va, Z_all, use_corr: bool,
         # Search-side X^T Y feeds only the alpha argmax -> joins fast_scan.
         XtY = (jnp.dot(X.T, Yc, precision=scan_precision)
                - jnp.dot(Xva.T, Yva_c, precision=scan_precision))  # (D, Vc)
-        zP = zscore(Yva_c, axis=0)
-        Pvar = jnp.var(Yva_c, axis=0, ddof=1)
-
-        def one_alpha(Z):
-            pred = jnp.dot(Z.T, XtY, precision=scan_precision)
-            return _score_predictions(pred, Yva_c, zP, Pvar, use_corr)
-
-        return jax.lax.map(one_alpha, Z_all)
+        return _score_alphas_from_factors(Z_all, XtY, Yva_c, use_corr,
+                                          scan_precision)
 
     out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
     return jnp.moveaxis(out, 0, 1).reshape(Z_all.shape[0],

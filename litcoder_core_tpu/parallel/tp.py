@@ -68,10 +68,14 @@ def make_lm_mesh(n_data: int = 1, n_model: Optional[int] = None,
     if n_model is None:
         n_model = len(devices) // n_data
     need = n_data * n_model
-    if len(devices) < need:
+    if n_model < 1 or len(devices) < need:
+        # n_model < 1 happens when n_data alone exceeds the device count
+        # (len(devices)//n_data == 0) — without this check `need` would be
+        # 0 and an empty zero-device mesh would slip through.
         raise RuntimeError(
-            f"make_lm_mesh({n_data}, {n_model}) needs {need} devices but "
-            f"only {len(devices)} exist (platform={devices[0].platform})"
+            f"make_lm_mesh({n_data}, {n_model}) needs "
+            f"{max(need, n_data)} devices but only {len(devices)} exist "
+            f"(platform={devices[0].platform})"
         )
     grid = np.asarray(devices[:need]).reshape(n_data, n_model)
     return Mesh(grid, (DATA_AXIS, MODEL_AXIS))

@@ -265,3 +265,9 @@ def test_speech_mesh_requires_flax(tiny_speech):
             model_name="x", chunk_size=0.1, context_size=1.0, model=model,
             feature_extractor=fe, backend="torch", mesh=make_lm_mesh(1, 8),
         )
+
+
+def test_make_lm_mesh_rejects_oversized_data_axis():
+    """n_data > device count must raise, not build an empty mesh."""
+    with pytest.raises(RuntimeError, match="devices"):
+        make_lm_mesh(16)
