@@ -248,3 +248,43 @@ def signed_square_corr(y_true, y_pred, axis=0):
     truevar = jnp.var(y_true, axis=axis, ddof=1)
     rsq = 1.0 - resvar / truevar
     return jnp.sqrt(jnp.abs(rsq)) * jnp.sign(rsq)
+
+
+def noise_ceiling_split_half(responses, key=None, n_splits: int = 20):
+    """Per-voxel noise ceiling from repeated presentations (beyond the
+    reference): mean split-half correlation across random partitions of
+    the repeats, Spearman-Brown corrected to the full repeat count.
+
+    Args:
+        responses: (n_reps, T, V) responses to n_reps presentations of the
+            SAME stimulus.
+        key: jax PRNG key (defaults to PRNGKey(0); pass one for different
+            partitions).
+        n_splits: random half-splits to average over.
+
+    Returns:
+        (V,) float32 ceiling estimates in [-1, 1] — the correlation an
+        ideal model could reach against single-presentation noise. Used to
+        normalize encoding scores (r / sqrt(ceiling)).
+    """
+    responses = jnp.asarray(responses, jnp.float32)
+    n_reps = responses.shape[0]
+    if n_reps < 2:
+        raise ValueError("noise ceiling needs >= 2 repeats")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    half = n_reps // 2
+
+    def one_split(k):
+        perm = jax.random.permutation(k, n_reps)
+        a = jnp.mean(responses[perm[:half]], axis=0)
+        b = jnp.mean(responses[perm[half:]], axis=0)
+        return pearson_r(a, b)
+
+    r_half = jnp.mean(
+        jax.lax.map(one_split, jax.random.split(key, n_splits)), axis=0
+    )
+    # Spearman-Brown: predict reliability of the n_reps-average from the
+    # half-split correlation.
+    ratio = n_reps / half
+    return (ratio * r_half) / (1.0 + (ratio - 1.0) * r_half)

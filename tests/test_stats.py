@@ -276,3 +276,26 @@ def test_trainer_zscore_matches_host_zs():
     np.testing.assert_allclose(
         np.asarray(trainer_zscore(c)), zs(c), atol=1e-6
     )
+
+
+def test_noise_ceiling_split_half():
+    """High-SNR voxels approach ceiling 1; pure-noise voxels stay near 0;
+    ceiling grows with the number of repeats."""
+    import jax
+
+    from litcoder_core_tpu.ops.stats import noise_ceiling_split_half
+
+    r = np.random.default_rng(19)
+    t, v, reps = 240, 20, 8
+    signal = r.normal(size=(t, v)).astype(np.float32)
+    noise_scale = np.where(np.arange(v) < 10, 0.3, 50.0).astype(np.float32)
+    resp = signal[None] + noise_scale[None, None, :] * r.normal(
+        size=(reps, t, v)).astype(np.float32)
+    ceil = np.asarray(noise_ceiling_split_half(resp))
+    assert np.all(ceil[:10] > 0.9)        # high-SNR voxels
+    assert np.all(np.abs(ceil[10:]) < 0.4)  # noise voxels
+    # Fewer repeats -> lower ceiling for the noisy voxels on average.
+    ceil2 = np.asarray(noise_ceiling_split_half(resp[:2]))
+    assert np.mean(ceil2[:10]) <= np.mean(ceil[:10]) + 1e-3
+    with pytest.raises(ValueError, match=">= 2 repeats"):
+        noise_ceiling_split_half(resp[:1])
