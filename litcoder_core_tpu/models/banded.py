@@ -139,8 +139,8 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
         _score_predictions,
         lmax_dense,
         score_alpha_grid,
-        zscore,
     )
+    from litcoder_core_tpu.ops.stats import zscore
 
     H = jax.lax.Precision.HIGHEST
 
