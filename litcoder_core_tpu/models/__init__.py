@@ -10,6 +10,9 @@ from litcoder_core_tpu.models.ridge import (
 )
 from litcoder_core_tpu.models.nested_cv import NestedCVModel, fit_nested_cv
 from litcoder_core_tpu.models.banded import BandedRidgeModel, fit_banded_ridge
+from litcoder_core_tpu.models.variance_partition import (
+    variance_partitioning,
+)
 from litcoder_core_tpu.models.linear import LinearPredictivityModel
 from litcoder_core_tpu.models.sklearn_model import SklearnPredictivityModel
 from litcoder_core_tpu.models.normalizer import DataNormalizer
@@ -25,6 +28,7 @@ __all__ = [
     "fit_nested_cv",
     "BandedRidgeModel",
     "fit_banded_ridge",
+    "variance_partitioning",
     "LinearPredictivityModel",
     "SklearnPredictivityModel",
     "DataNormalizer",
