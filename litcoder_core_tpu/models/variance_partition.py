@@ -59,8 +59,8 @@ def variance_partitioning(
     Returns dict with:
         'r2_<subset>' for every non-empty subset (e.g. 'r2_A', 'r2_AB'),
         'unique_<name>' per space, and 'shared' (2 spaces) or
-        'shared_<pair>' + 'shared_ABC' (3 spaces); each an (V,) float64
-        array.
+        'shared_<pair>' + 'shared_<all three names>' (3 spaces, e.g.
+        'shared_ABC' with default names); each an (V,) float64 array.
     """
     n_spaces = len(Xs)
     if n_spaces not in (2, 3):
@@ -110,8 +110,10 @@ def variance_partitioning(
             r2[ab] + r2[ac] - r2[a] - r2[full]
         )
         # Shared among all three: singles - pairs + full (standard 3-set
-        # inclusion-exclusion on variance components).
-        out["shared_ABC"] = (
+        # inclusion-exclusion on variance components). Keyed by the caller's
+        # names like the pairwise components ('shared_ABC' with the default
+        # names).
+        out[f"shared_{names[0]}{names[1]}{names[2]}"] = (
             r2[a] + r2[b] + r2[c] - r2[ab] - r2[ac] - r2[bc] + r2[full]
         )
     return out

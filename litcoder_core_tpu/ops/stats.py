@@ -273,12 +273,16 @@ def noise_ceiling_split_half(responses, key=None, n_splits: int = 20):
         raise ValueError("noise ceiling needs >= 2 repeats")
     if key is None:
         key = jax.random.PRNGKey(0)
+    # With odd n_reps the leftover repeat is DROPPED from each split (a
+    # fresh repeat per permutation): Spearman-Brown assumes equal halves,
+    # and correcting a 1-rep-vs-2-rep correlation with ratio n/half biases
+    # the ceiling.
     half = n_reps // 2
 
     def one_split(k):
         perm = jax.random.permutation(k, n_reps)
         a = jnp.mean(responses[perm[:half]], axis=0)
-        b = jnp.mean(responses[perm[half:]], axis=0)
+        b = jnp.mean(responses[perm[half:2 * half]], axis=0)
         return pearson_r(a, b)
 
     r_half = jnp.mean(

@@ -97,6 +97,15 @@ def nested_cv_step(
                   and train_idx.shape[1] >= X.shape[1])
     if complement and not isinstance(train_idx, jax.core.Tracer):
         complement = _folds_are_complementary(train_idx, val_idx)
+    if method == "woodbury" and not complement:
+        # An explicitly forced fast path must not silently degrade to the
+        # per-fold spectral scan (other forced-method mismatches raise too).
+        raise ValueError(
+            "method='woodbury' requires complementary equal-size folds "
+            "with tall training blocks (each fold's train rows = union of "
+            "all val rows minus its own, and Ttr >= D); these folds are "
+            "ineligible — use method='auto' to fall back automatically"
+        )
     scan = _resolve_scan_method(method, complement, alphas, normalpha,
                                 singcutoff)
     return _nested_cv_step_impl(

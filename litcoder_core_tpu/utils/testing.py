@@ -7,11 +7,16 @@ use the same pattern; cf. CLAUDE.md environment notes).
 """
 
 
+import hashlib
+
+
 class HashStubTokenizer:
-    """Deterministic whitespace tokenizer: stable ids via hash(word).
+    """Deterministic whitespace tokenizer: stable ids via md5(word).
 
     Implements exactly the tokenizer surface the LM extractor touches
-    (encode + the three special-token ids).
+    (encode + the three special-token ids). Ids come from a stable digest,
+    not Python's salted str hash(), so disk-cached features and benchmark
+    numbers reproduce across processes regardless of PYTHONHASHSEED.
     """
 
     bos_token_id = 1
@@ -19,4 +24,7 @@ class HashStubTokenizer:
     pad_token_id = 0
 
     def encode(self, text):
-        return [3 + (hash(w) % 500) for w in text.split()]
+        return [
+            3 + int(hashlib.md5(w.encode()).hexdigest(), 16) % 500
+            for w in text.split()
+        ]
