@@ -160,6 +160,13 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         dataset_config["trimming"].update(custom_trimming)
         logger.info("Using custom trimming parameters: %s", custom_trimming)
 
+    if config.get("banded") and config.get("n_devices"):
+        # Validate config combinations BEFORE any expensive assembly work.
+        raise ValueError(
+            "--n_devices is not yet supported with --banded; the "
+            "voxel-sharded solve is wired for NestedCVModel only"
+        )
+
     if config.get("assembly_path"):
         assembly = load_assembly(config["assembly_path"])
     else:
@@ -221,7 +228,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
                                  n_gammas=config.get("n_gammas", 10))
     else:
         model = NestedCVModel(model_name="ridge_regression",
-                              seed=config.get("seed", 0))
+                              seed=config.get("seed", 0),
+                              n_devices=config.get("n_devices"))
     trainer = AbstractTrainer(
         assembly=assembly,
         feature_extractors=build_extractors(config),
@@ -339,6 +347,10 @@ def parse_args(argv=None):
                              "style across tp_model devices)")
     parser.add_argument("--use_gpu", action="store_true",
                         help="Accepted for parity; JAX picks the device")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="Shard the voxel axis of the ridge solve over "
+                             "this many devices (1-D mesh; zero-collective "
+                             "fit). Default: single device")
     parser.add_argument("--cache_dir", type=str, required=True)
     parser.add_argument("--results_dir", type=str, default="results")
     # Logging

@@ -152,6 +152,24 @@ def _score_chunk_complement_body(states, X_union, Y_union_chunk, val_pos,
     ).mean(axis=0)
 
 
+@partial(jax.jit, static_argnames=("normalpha", "use_corr", "fast_scan"))
+def _score_whole_complement(states, X_union, Y, union_idx, val_pos, alphas,
+                            normalpha: bool, use_corr: bool,
+                            fast_scan: bool = False):
+    """(A, V) scores for ALL voxels in one program with NO voxel slicing.
+
+    Chunking relies on lax.dynamic_slice with a traced start, which the
+    SPMD partitioner cannot keep local when the voxel axis is sharded over
+    a mesh (it inserts gathers). This whole-array variant keeps every op
+    columnwise, so a voxel-sharded Y propagates through with ZERO
+    collectives — it is the kernel the mesh path of fit_nested_cv uses
+    (sharding replaces chunking: per-device memory is V/n_devices)."""
+    return _score_chunk_complement_body(
+        states, X_union, Y[union_idx], val_pos, alphas, normalpha,
+        use_corr, fast_scan,
+    )
+
+
 @partial(jax.jit,
          static_argnames=("normalpha", "use_corr", "chunk", "n_chunks",
                           "offset", "fast_scan"))
@@ -303,6 +321,25 @@ def _score_fold_chol_all(X, Y, tr, va, Z_all, use_corr: bool,
                                            n_chunks * chunk)
 
 
+@partial(jax.jit, static_argnames=("use_corr", "fast_scan"))
+def _score_fold_chol_whole_complement(X, Y, va, Z_all, use_corr: bool,
+                                      fast_scan: bool = False):
+    """Whole-array twin of _score_fold_chol_all_complement (no voxel
+    slicing) — the mesh path's kernel: with Y voxel-sharded, X^T Y
+    partitions on the output columns and every downstream op stays local
+    (see _score_whole_complement for why dynamic_slice is avoided)."""
+    H = jax.lax.Precision.HIGHEST
+    scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
+    X = jnp.asarray(X, jnp.float32)
+    Xva = X[va]
+    Y = jnp.asarray(Y, jnp.float32)
+    Yva = Y[va]
+    XtY = (jnp.dot(X.T, Y, precision=scan_precision)
+           - jnp.dot(Xva.T, Yva, precision=scan_precision))  # (D, V)
+    return _score_alphas_from_factors(Z_all, XtY, Yva, use_corr,
+                                      scan_precision)
+
+
 @partial(jax.jit,
          static_argnames=("use_corr", "chunk", "n_chunks", "offset",
                           "fast_scan"))
@@ -388,13 +425,24 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
                 X, Y, tr, va, Z_all, use_corr, c, n_c, off, fast_scan,
             )
 
-        parts = []
-        if full:
-            parts.append(score_fold(chunk, full // chunk, 0))
-        if n_voxels > full:
-            parts.append(score_fold(n_voxels - full, 1, full))
-        fold_scores = (jnp.concatenate(parts, axis=1) if len(parts) > 1
-                       else parts[0])
+        if chunk >= n_voxels:
+            # No chunking: use the slice-free whole-array kernels (required
+            # for mesh-sharded Y; also the cleanest single-chip program).
+            if complement:
+                fold_scores = _score_fold_chol_whole_complement(
+                    X, Y, va, Z_all, use_corr, fast_scan,
+                )
+            else:
+                fold_scores = _score_chunk_chol(Z_all, X[tr], Y[tr], Y[va],
+                                                use_corr, fast_scan)
+        else:
+            parts = []
+            if full:
+                parts.append(score_fold(chunk, full // chunk, 0))
+            if n_voxels > full:
+                parts.append(score_fold(n_voxels - full, 1, full))
+            fold_scores = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                           else parts[0])
         corr_sum = corr_sum + fold_scores
     return corr_sum / len(fold_splits)
 
@@ -468,12 +516,20 @@ def _find_best_alphas(
 
     if _chol_search_eligible(method, normalpha, alphas, fold_splits,
                              X.shape[1], singcutoff):
+        logger.info(
+            "alpha search path: cholesky (eigensolve-free fold streaming)"
+        )
         mean_corrs = _find_best_alphas_chol(
             X, Y, fold_splits, alphas_j, normalpha, use_corr,
             voxel_chunk_size, fast_scan,
         )
     elif (len(shapes) == 1 and resolved == "eigh"
             and _folds_partition_union(fold_splits)):
+        logger.info(
+            "alpha search path: complement-gram eigh (per-fold eigensolves;"
+            " the faster cholesky path needs normalpha=True, min(alpha) >="
+            " 0.03, singcutoff <= 1e-10, tall folds)"
+        )
         # Complement-Gram fast path: no (F, Ttr, .) gathers at all. The
         # union must cover every row any fold touches (train rows outside
         # all val folds included), matching _folds_partition_union.
@@ -491,22 +547,32 @@ def _find_best_alphas(
         chunk = (voxel_chunk_size if voxel_chunk_size is not None
                  else n_voxels)
         # Never pad or duplicate the big response matrix: full chunks run in
-        # one lax.map dispatch, the non-divisible tail separately.
-        full = (n_voxels // chunk) * chunk
-        parts = []
-        if full:
-            parts.append(_score_all_complement(
+        # one lax.map dispatch, the non-divisible tail separately. With
+        # chunking off, the slice-free whole-array kernel runs instead
+        # (required for mesh-sharded Y).
+        if chunk >= n_voxels:
+            mean_corrs = _score_whole_complement(
                 states, X_union, Y_j2, union_j, val_pos, alphas_j,
-                normalpha, use_corr, chunk, full // chunk, 0, fast_scan,
-            ))
-        if n_voxels > full:
-            parts.append(_score_all_complement(
-                states, X_union, Y_j2, union_j, val_pos, alphas_j,
-                normalpha, use_corr, n_voxels - full, 1, full, fast_scan,
-            ))
-        mean_corrs = (jnp.concatenate(parts, axis=1) if len(parts) > 1
-                      else parts[0])  # (A, V)
+                normalpha, use_corr, fast_scan,
+            )  # (A, V)
+        else:
+            full = (n_voxels // chunk) * chunk
+            parts = []
+            if full:
+                parts.append(_score_all_complement(
+                    states, X_union, Y_j2, union_j, val_pos, alphas_j,
+                    normalpha, use_corr, chunk, full // chunk, 0, fast_scan,
+                ))
+            if n_voxels > full:
+                parts.append(_score_all_complement(
+                    states, X_union, Y_j2, union_j, val_pos, alphas_j,
+                    normalpha, use_corr, n_voxels - full, 1, full, fast_scan,
+                ))
+            mean_corrs = (jnp.concatenate(parts, axis=1) if len(parts) > 1
+                          else parts[0])  # (A, V)
     elif len(shapes) == 1:
+        logger.info("alpha search path: batched per-fold spectral (%s)",
+                    resolved)
         tr_idx = jnp.asarray(np.stack([tr for tr, _ in fold_splits]))
         va_idx = jnp.asarray(np.stack([va for _, va in fold_splits]))
         states = _fold_spectral_states(X, tr_idx, va_idx, singcutoff,
@@ -519,6 +585,9 @@ def _find_best_alphas(
             ))
         mean_corrs = jnp.concatenate(chunks, axis=1)  # (A, V)
     else:
+        logger.info(
+            "alpha search path: per-fold python loop (unequal fold shapes)"
+        )
         corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
         for train_idx, val_idx in fold_splits:
             tr = jnp.asarray(train_idx)
@@ -576,12 +645,19 @@ def _fit_and_score(
         # Metrics-only: the whole refit+score runs as ONE dispatch
         # (lax.map over voxel chunks inside jit); the non-divisible tail is
         # a second small dispatch (padding the big matrices would double
-        # device memory).
+        # device memory). Chunking off -> the slice-free whole-array kernel
+        # (required for mesh-sharded Y).
         chunk = (voxel_chunk_size if voxel_chunk_size is not None
                  else n_voxels)
         Y_tr = jnp.asarray(Y_train, jnp.float32)
         Y_te = jnp.asarray(Y_test, jnp.float32)
         Xte = jnp.asarray(X_test, jnp.float32)
+        if chunk >= n_voxels:
+            correlations = np.asarray(
+                _refit_score_whole(svd, Y_tr, Y_te, Xte, nalphas)
+            )
+            return (None, correlations,
+                    pearson_pvalues_f64(correlations, Y_test.shape[0]))
         full = (n_voxels // chunk) * chunk
         corr_parts = []
         if full:
@@ -615,6 +691,18 @@ def _fit_and_score(
     )
 
 
+@jax.jit
+def _refit_score_whole(svd, Y_train, Y_test, X_test, nalphas):
+    """Slice-free twin of _refit_score_all for the no-chunking case: with Y
+    voxel-sharded over a mesh, the refit weights, predictions, and
+    correlations all partition columnwise with zero collectives."""
+    from litcoder_core_tpu.ops.stats import pearson_r
+
+    wt = ridge_fit_from_svd(svd, Y_train, nalphas)
+    y_pred = predict(X_test, wt)
+    return pearson_r(Y_test, y_pred)
+
+
 @partial(jax.jit, static_argnames=("chunk", "n_chunks", "offset"))
 def _refit_score_all(svd, Y_train, Y_test, X_test, nalphas, chunk: int,
                      n_chunks: int, offset: int = 0):
@@ -639,6 +727,32 @@ def _refit_score_all(svd, Y_train, Y_test, X_test, nalphas, chunk: int,
 
     corr = jax.lax.map(body, jnp.arange(n_chunks))
     return corr.reshape(n_chunks * chunk)
+
+
+def _resolve_mesh(mesh, n_devices: Optional[int]):
+    """Resolve the user-facing mesh knobs into a 1-D voxel mesh (or None).
+
+    This is the TPU-native analogue of the reference's in-fit device knob
+    (use_gpu + device selection, encoding/models/nested_cv.py:84-95): the
+    mesh is an argument of the FIT, not a separate power-user API.
+    """
+    if mesh is None and n_devices is None:
+        return None
+    if mesh is None:
+        from litcoder_core_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_devices)
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"fit_nested_cv expects a 1-D (voxel) mesh; got axes "
+            f"{mesh.axis_names}"
+        )
+    if n_devices is not None and mesh.devices.size != n_devices:
+        raise ValueError(
+            f"mesh has {mesh.devices.size} devices but n_devices="
+            f"{n_devices} was requested; pass one or the other"
+        )
+    return mesh
 
 
 def fit_nested_cv(
@@ -667,15 +781,22 @@ def fit_nested_cv(
     outer_splits: Optional[List] = None,
     return_weights: bool = True,
     fast_scan: bool = False,
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> Tuple[Metrics, np.ndarray, np.ndarray]:
     """Nested-CV ridge fit. Signature and return contract match
-    NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with two
+    NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with
     additions: `seed` (reproducible folds), `voxel_chunk_size` (HBM
-    streaming; None = all voxels at once), and `method`
+    streaming; None = all voxels at once), `method`
     ('auto'|'eigh'|'svd' spectral path — eigh of the Gram matrix is the fast
-    MXU formulation for tall designs; see models/ridge.py), and
+    MXU formulation for tall designs; see models/ridge.py),
     `inner_splits`/`outer_splits` (inject custom CV folds; for full-CV mode
-    inner_splits may be a list of per-outer-fold lists).
+    inner_splits may be a list of per-outer-fold lists), and
+    `mesh`/`n_devices` (multi-chip: shard the voxel axis of the responses,
+    weights, alphas, and metrics over a 1-D device mesh — the voxelwise
+    solve is embarrassingly parallel, so the whole fit runs with zero
+    collectives; the TPU-native replacement for the reference's `use_gpu`
+    device knob, encoding/models/nested_cv.py:84-95).
 
     Returns:
         (metrics, weights (n_features, n_voxels), best_alphas (n_voxels,))
@@ -688,12 +809,40 @@ def fit_nested_cv(
     features_j = jnp.asarray(features, jnp.float32)
     targets_j = jnp.asarray(targets, jnp.float32)
 
+    vox_mesh = _resolve_mesh(mesh, n_devices)
+    n_voxels_orig = targets_j.shape[1]
+    if vox_mesh is not None:
+        from litcoder_core_tpu.parallel.mesh import replicate, shard_voxels
+        from litcoder_core_tpu.parallel.step import pad_voxels
+
+        if voxel_chunk_size is not None:
+            logger.info(
+                "mesh sharding replaces voxel chunking (per-device memory "
+                "is already V/%d); ignoring voxel_chunk_size=%d",
+                vox_mesh.devices.size, voxel_chunk_size,
+            )
+            voxel_chunk_size = None
+        axis = vox_mesh.axis_names[0]
+        targets_j, _ = pad_voxels(targets_j, vox_mesh.devices.size)
+        targets_j = shard_voxels(targets_j, vox_mesh, axis=axis)
+        features_j = replicate(features_j, vox_mesh)
+        logger.info(
+            "voxel-sharded fit: %d voxels (+%d pad) over %d devices",
+            n_voxels_orig, targets_j.shape[1] - n_voxels_orig,
+            vox_mesh.devices.size,
+        )
+
     train_test_mode = X_test is not None and y_test is not None
 
     if train_test_mode:
         logger.info("Running in train-test mode with provided test set")
         X_test_j = jnp.asarray(X_test, jnp.float32)
         y_test_j = jnp.asarray(y_test, jnp.float32)
+        if vox_mesh is not None:
+            y_test_j, _ = pad_voxels(y_test_j, vox_mesh.devices.size)
+            y_test_j = shard_voxels(y_test_j, vox_mesh,
+                                    axis=vox_mesh.axis_names[0])
+            X_test_j = replicate(X_test_j, vox_mesh)
 
         if normalize_features or normalize_targets:
             normalizer = DataNormalizer(normalize_features, normalize_targets)
@@ -717,6 +866,14 @@ def fit_nested_cv(
             normalpha, singcutoff, voxel_chunk_size, method,
             return_weights=return_weights,
         )
+        if vox_mesh is not None:
+            # Strip the sharding pad BEFORE any decision statistic: padded
+            # zero-columns carry p=1 and would perturb the BH threshold.
+            correlations = correlations[:n_voxels_orig]
+            pvalues = pvalues[:n_voxels_orig]
+            best_valphas = best_valphas[:n_voxels_orig]
+            if wt is not None:
+                wt = np.asarray(wt)[:, :n_voxels_orig]
         # pvalues already carry the decision-grade float64 host tail
         # (_fit_and_score computes them from the fetched correlations).
         significant, corrected_pvals = bh_fdrcorrection_np(
@@ -775,12 +932,17 @@ def fit_nested_cv(
             normalpha, use_corr, singcutoff, voxel_chunk_size, method,
             fast_scan,
         )
-        fold_valphas.append(best_valphas)
+        fold_valphas.append(best_valphas[:n_voxels_orig])
 
         wt, correlations, pvalues = _fit_and_score(
             X_train, y_train, X_te, y_te, best_valphas, normalpha, singcutoff,
             voxel_chunk_size, method, return_weights=return_weights,
         )
+        if vox_mesh is not None:
+            correlations = correlations[:n_voxels_orig]
+            pvalues = pvalues[:n_voxels_orig]
+            if wt is not None:
+                wt = np.asarray(wt)[:, :n_voxels_orig]
         if return_weights:
             fold_weights.append(wt)
         # pvalues are float64 host-tail values from _fit_and_score.
@@ -819,18 +981,29 @@ def fit_nested_cv(
 
 
 class NestedCVModel(BasePredictivityModel):
-    """Drop-in for the reference NestedCVModel (encoding/models/nested_cv.py:14)."""
+    """Drop-in for the reference NestedCVModel (encoding/models/nested_cv.py:14).
+
+    `mesh`/`n_devices` make multi-chip a first-class model option: the
+    voxel axis of every response-side tensor shards over a 1-D device mesh
+    for the whole fit (search, refit, scoring) — the TPU-native analogue
+    of the reference's in-fit device selection
+    (encoding/models/nested_cv.py:84-95)."""
 
     def __init__(self, model_name: str = "ridge_regression", seed: int = 0,
-                 voxel_chunk_size: Optional[int] = None):
+                 voxel_chunk_size: Optional[int] = None,
+                 mesh=None, n_devices: Optional[int] = None):
         super().__init__(model_name)
         self.seed = seed
         self.voxel_chunk_size = voxel_chunk_size
+        self.mesh = mesh
+        self.n_devices = n_devices
 
     def fit_predict(self, features, targets, X_test=None, y_test=None,
                     groups=None, **kwargs):
         kwargs.setdefault("seed", self.seed)
         kwargs.setdefault("voxel_chunk_size", self.voxel_chunk_size)
+        kwargs.setdefault("mesh", self.mesh)
+        kwargs.setdefault("n_devices", self.n_devices)
         return fit_nested_cv(
             features, targets, X_test=X_test, y_test=y_test, groups=groups,
             **kwargs,

@@ -1,0 +1,183 @@
+"""Mesh as a first-class argument of the user-facing fit.
+
+The reference's user-facing device knob lives INSIDE fit_predict
+(encoding/models/nested_cv.py:84-95, use_gpu + device selection); the
+TPU-native equivalent is `mesh=`/`n_devices=` on fit_nested_cv /
+NestedCVModel. These tests lock (a) sharded-vs-unsharded metric invariance
+for both modes, (b) the trainer-level end-to-end path, and (c) the pad/strip
+behavior for voxel counts not divisible by the mesh.
+"""
+
+import logging
+
+import jax
+import numpy as np
+import pytest
+
+from litcoder_core_tpu.models.nested_cv import NestedCVModel, fit_nested_cv
+from litcoder_core_tpu.parallel.mesh import make_mesh
+
+needs_mesh = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+rng = np.random.default_rng(31)
+
+
+def _problem(T=240, Tp=60, D=10, V=21, noise=0.5):
+    """V=21 is deliberately NOT divisible by 8: exercises pad+strip."""
+    X = rng.normal(size=(T, D)).astype(np.float32)
+    wt = rng.normal(size=(D, V)).astype(np.float32)
+    Y = (X @ wt + noise * rng.normal(size=(T, V))).astype(np.float32)
+    X_test = rng.normal(size=(Tp, D)).astype(np.float32)
+    Y_test = (X_test @ wt + noise * rng.normal(size=(Tp, V))).astype(
+        np.float32
+    )
+    return X, Y, X_test, Y_test
+
+
+def _assert_metrics_close(m_plain, m_mesh, atol=1e-4):
+    assert np.allclose(m_mesh["correlations"], m_plain["correlations"],
+                       atol=atol)
+    assert np.allclose(m_mesh["best_alphas"], m_plain["best_alphas"])
+    assert m_mesh["n_significant"] == m_plain["n_significant"]
+    assert m_mesh["significant_mask"] == m_plain["significant_mask"]
+    assert abs(m_mesh["median_score"] - m_plain["median_score"]) < atol
+
+
+@needs_mesh
+def test_fit_train_test_mode_mesh_invariant(caplog):
+    X, Y, X_test, Y_test = _problem()
+    kwargs = dict(alphas=np.logspace(-1, 3, 5), chunk_length=10,
+                  n_inner_folds=4, seed=0)
+
+    m_plain, w_plain, a_plain = fit_nested_cv(
+        X, Y, X_test=X_test, y_test=Y_test, **kwargs)
+    with caplog.at_level(logging.INFO,
+                         logger="litcoder_core_tpu.models.nested_cv"):
+        m_mesh, w_mesh, a_mesh = fit_nested_cv(
+            X, Y, X_test=X_test, y_test=Y_test, n_devices=8, **kwargs)
+
+    assert any("voxel-sharded fit" in r.message for r in caplog.records)
+    _assert_metrics_close(m_plain, m_mesh)
+    assert w_mesh.shape == w_plain.shape == (X.shape[1], Y.shape[1])
+    assert np.allclose(w_mesh, w_plain, atol=1e-4)
+    assert a_mesh.shape == (Y.shape[1],)
+    assert np.allclose(a_mesh, a_plain)
+
+
+@needs_mesh
+def test_fit_train_test_mesh_object_and_eigh_path():
+    """Passing a prebuilt Mesh + method='eigh' (the complement-eigh whole-
+    array kernel) must match the unsharded eigh fit."""
+    X, Y, X_test, Y_test = _problem()
+    kwargs = dict(alphas=np.logspace(-1, 3, 5), chunk_length=10,
+                  n_inner_folds=4, seed=0, method="eigh",
+                  return_weights=False)
+    m_plain, _, _ = fit_nested_cv(X, Y, X_test=X_test, y_test=Y_test,
+                                  **kwargs)
+    m_mesh, w_mesh, _ = fit_nested_cv(X, Y, X_test=X_test, y_test=Y_test,
+                                      mesh=make_mesh(8), **kwargs)
+    assert w_mesh is None
+    _assert_metrics_close(m_plain, m_mesh)
+
+
+@needs_mesh
+def test_fit_full_cv_mode_mesh_invariant():
+    X, Y, _, _ = _problem(T=300)
+    kwargs = dict(alphas=np.logspace(-1, 3, 5), chunk_length=10,
+                  n_outer_folds=3, n_inner_folds=3, seed=0)
+    m_plain, w_plain, a_plain = fit_nested_cv(X, Y, **kwargs)
+    m_mesh, w_mesh, a_mesh = fit_nested_cv(X, Y, n_devices=8, **kwargs)
+
+    assert np.allclose(m_mesh["correlations"], m_plain["correlations"],
+                       atol=1e-4)
+    assert np.allclose(m_mesh["best_alphas"], m_plain["best_alphas"])
+    assert m_mesh["n_significant"] == m_plain["n_significant"]
+    assert ("majority_significant_mask" in m_mesh
+            and m_mesh["majority_significant_mask"]
+            == m_plain["majority_significant_mask"])
+    assert w_mesh.shape == w_plain.shape
+    assert np.allclose(w_mesh, w_plain, atol=1e-4)
+    assert np.allclose(a_mesh, a_plain)
+
+
+@needs_mesh
+def test_model_class_mesh_knob_through_trainer(tmp_path):
+    """VERDICT round-2 'done' criterion: an AbstractTrainer run on the
+    8-device virtual mesh produces sharded-invariant metrics END TO END,
+    entered through trainer.train() with the mesh configured on the model."""
+    from tests.test_trainer_e2e import _make_story
+
+    from litcoder_core_tpu import (
+        AbstractTrainer,
+        Downsampler,
+        SimpleNeuroidAssembly,
+    )
+    from litcoder_core_tpu.features.factory import FeatureExtractorFactory
+
+    # ONE assembly shared by both runs (_make_story draws from a stateful
+    # module RNG; rebuilding would change the data between runs).
+    stories = [_make_story(f"s{i}") for i in range(4)]
+    assembly = SimpleNeuroidAssembly(stories, validation_method="outer")
+
+    def run(model):
+        extractor = FeatureExtractorFactory.create_extractor(
+            "wordrate", "wordrate", {}, cache_dir=str(tmp_path / "cache")
+        )
+        trainer = AbstractTrainer(
+            assembly=assembly,
+            feature_extractors=[extractor],
+            downsampler=Downsampler(),
+            model=model,
+            fir_delays=[1, 2, 3, 4],
+            trimming_config={
+                "train_features_start": 10, "train_features_end": -5,
+                "train_targets_start": 10, "train_targets_end": -5,
+                "test_features_start": 10, "test_features_end": -5,
+                "test_targets_start": 10, "test_targets_end": -5,
+            },
+            use_train_test_split=True,
+            dataset_type="lebel",
+            logger_backend="none",
+            results_dir=str(tmp_path / "results"),
+        )
+        return trainer.train(chunk_length=10, n_inner_folds=3)
+
+    m_plain = run(NestedCVModel(seed=0))
+    m_mesh = run(NestedCVModel(seed=0, n_devices=8))
+    _assert_metrics_close(m_plain, m_mesh)
+    assert m_mesh["median_score"] > 0.25
+
+
+def test_mesh_rejects_bad_arguments():
+    X, Y, X_test, Y_test = _problem(T=80, Tp=20, V=4)
+    with pytest.raises(RuntimeError, match="devices"):
+        fit_nested_cv(X, Y, X_test=X_test, y_test=Y_test, n_devices=4096)
+    if len(jax.devices()) >= 8:
+        with pytest.raises(ValueError, match="n_devices"):
+            fit_nested_cv(X, Y, X_test=X_test, y_test=Y_test,
+                          mesh=make_mesh(8), n_devices=4)
+
+
+def test_cli_n_devices_flag():
+    from litcoder_core_tpu.cli import parse_args
+
+    args = parse_args([
+        "--dataset_type", "lebel", "--modality", "wordrate",
+        "--model_name", "wordrate", "--ndelays", "4", "--lookback", "256",
+        "--cache_dir", "/tmp/c", "--n_devices", "8",
+    ])
+    assert args.n_devices == 8
+
+
+def test_cli_n_devices_banded_rejected(tmp_path):
+    from litcoder_core_tpu.cli import main
+
+    with pytest.raises(ValueError, match="banded"):
+        main([
+            "--dataset_type", "lebel", "--modality", "wordrate",
+            "--model_name", "wordrate", "--ndelays", "4",
+            "--lookback", "256", "--cache_dir", str(tmp_path),
+            "--assembly_path", "unused.pkl", "--banded",
+            "--n_devices", "8",
+        ])
