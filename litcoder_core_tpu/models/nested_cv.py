@@ -322,20 +322,24 @@ def _score_fold_chol_all(X, Y, tr, va, Z_all, use_corr: bool,
 
 
 @partial(jax.jit, static_argnames=("use_corr", "fast_scan"))
-def _score_fold_chol_whole_complement(X, Y, va, Z_all, use_corr: bool,
+def _score_fold_chol_whole_complement(X, Y, va, Z_all, XtY_all,
+                                      use_corr: bool,
                                       fast_scan: bool = False):
     """Whole-array twin of _score_fold_chol_all_complement (no voxel
     slicing) — the mesh path's kernel: with Y voxel-sharded, X^T Y
     partitions on the output columns and every downstream op stays local
-    (see _score_whole_complement for why dynamic_slice is avoided)."""
+    (see _score_whole_complement for why dynamic_slice is avoided).
+
+    XtY_all = X^T Y is PRECOMPUTED once per fit and shared by every fold
+    (it is fold-independent) — recomputing it per fold was the dominant
+    matmul of the whole search (F * T * D * V flops vs T * D * V once)."""
     H = jax.lax.Precision.HIGHEST
     scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
     X = jnp.asarray(X, jnp.float32)
     Xva = X[va]
     Y = jnp.asarray(Y, jnp.float32)
     Yva = Y[va]
-    XtY = (jnp.dot(X.T, Y, precision=scan_precision)
-           - jnp.dot(Xva.T, Yva, precision=scan_precision))  # (D, V)
+    XtY = XtY_all - jnp.dot(Xva.T, Yva, precision=scan_precision)  # (D, V)
     return _score_alphas_from_factors(Z_all, XtY, Yva, use_corr,
                                       scan_precision)
 
@@ -343,16 +347,23 @@ def _score_fold_chol_whole_complement(X, Y, va, Z_all, use_corr: bool,
 @partial(jax.jit,
          static_argnames=("use_corr", "chunk", "n_chunks", "offset",
                           "fast_scan"))
-def _score_fold_chol_all_complement(X, Y, va, Z_all, use_corr: bool,
+def _score_fold_chol_all_complement(X, Y, va, Z_all, XtY_all,
+                                    use_corr: bool,
                                     chunk: int, n_chunks: int,
                                     offset: int = 0,
                                     fast_scan: bool = False):
     """Complement variant for folds whose train rows = all rows minus the
-    val rows: X_tr^T Yc = X^T Yc - Xva^T Yva, so NO (T_tr, .) gather is
+    val rows: X_tr^T Yc = (X^T Y)c - Xva^T Yva, so NO (T_tr, .) gather is
     ever materialized — at whole-brain scale the gather buffers (hundreds
     of MB per chunk next to a ~10 GB response matrix) were the difference
     between fitting in HBM and thrashing. Factors come precomputed from
-    _complement_fold_factors (shared by the full-chunk and tail calls)."""
+    _complement_fold_factors; XtY_all = X^T Y may be precomputed ONCE per
+    fit (fold-independent; see _score_fold_chol_whole_complement) and
+    shared by the full-chunk and tail calls, or None to keep the
+    per-chunk X^T Yc computation — at whole-brain scale with chunking the
+    extra persistent (D, V) buffer (~1.2 GB next to a ~10 GB response
+    matrix at ~14 GB live) is exactly what chunking was bought to
+    avoid."""
     H = jax.lax.Precision.HIGHEST
     scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
     X = jnp.asarray(X, jnp.float32)
@@ -360,11 +371,16 @@ def _score_fold_chol_all_complement(X, Y, va, Z_all, use_corr: bool,
     t = Y.shape[0]
 
     def body(c):
-        Yc = jax.lax.dynamic_slice(Y, (0, offset + c * chunk), (t, chunk))
+        start = offset + c * chunk
+        Yc = jax.lax.dynamic_slice(Y, (0, start), (t, chunk))
         Yva_c = Yc[va]
-        # Search-side X^T Y feeds only the alpha argmax -> joins fast_scan.
-        XtY = (jnp.dot(X.T, Yc, precision=scan_precision)
-               - jnp.dot(Xva.T, Yva_c, precision=scan_precision))  # (D, Vc)
+        if XtY_all is None:
+            base = jnp.dot(X.T, Yc, precision=scan_precision)
+        else:
+            base = jax.lax.dynamic_slice(
+                XtY_all, (0, start), (XtY_all.shape[0], chunk)
+            )
+        XtY = base - jnp.dot(Xva.T, Yva_c, precision=scan_precision)
         return _score_alphas_from_factors(Z_all, XtY, Yva_c, use_corr,
                                           scan_precision)
 
@@ -376,6 +392,264 @@ def _score_fold_chol_all_complement(X, Y, va, Z_all, use_corr: bool,
 @jax.jit
 def _full_gram(X):
     return jnp.dot(X.T, X, precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("fast_scan",))
+def _xty_scan(X, Y, fast_scan: bool = False):
+    """X^T Y at the alpha-scan precision (search-side only — the refit
+    always recomputes its cross-products at full precision)."""
+    p = jax.lax.Precision.DEFAULT if fast_scan else jax.lax.Precision.HIGHEST
+    return jnp.dot(jnp.asarray(X, jnp.float32).T,
+                   jnp.asarray(Y, jnp.float32), precision=p)
+
+
+# --- fused full-CV mode (cross-OUTER-fold reuse) -----------------------------
+#
+# The reference's full nested CV recomputes everything per outer fold
+# (encoding/models/nested_cv.py:173-331). But with partitioning outer folds
+# the complement identity extends across the OUTER loop too:
+#     G_tr(f)   = G_full   - Xte(f)^T Xte(f)
+#     XtY_tr(f) = XtY_full - Xte(f)^T Yte(f)
+# so the (T, D, V)-sized cross-products — the dominant matmuls of the whole
+# fit — are computed ONCE for the union and downdated per fold, and each
+# outer fold's XtY_tr is further shared by ALL of its inner folds (the
+# unfused path recomputes a full X_tr^T Y per inner fold). The refit reuses
+# the same downdated Gram and XtY in a U-free spectral solve. All ops are
+# columnwise in V, so the fused path composes with mesh sharding unchanged.
+
+
+@jax.jit
+def _xty(X, Y):
+    return jnp.dot(X.T, Y, precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _downdate_outer(X, Y, G_full, XtY_full, te):
+    Xte = X[te]
+    Yte = Y[te]
+    H = jax.lax.Precision.HIGHEST
+    return (G_full - jnp.dot(Xte.T, Xte, precision=H),
+            XtY_full - jnp.dot(Xte.T, Yte, precision=H))
+
+
+@partial(jax.jit, static_argnames=("normalpha", "use_corr", "fast_scan"))
+def _score_inner_fold_from_gram(X, Y, va_g, lo_g, G_tr, XtY_tr, alphas,
+                                normalpha: bool, use_corr: bool,
+                                fast_scan: bool = False):
+    """(A, V) one inner fold's scores from the outer fold's precomputed
+    training Gram/XtY: only val-block (and the tiny inner-scheme leftover
+    `lo_g` — outer-train rows no inner fold touches, e.g. the chunking
+    remainder) cross-products are new work. The leftover downdate happens
+    INSIDE this program so no third persistent (D, V) XtY buffer exists —
+    at whole-brain scale each one is GB-sized."""
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
+    X = jnp.asarray(X, jnp.float32)
+    Y = jnp.asarray(Y, jnp.float32)
+    Xva = X[va_g]
+    Yva = Y[va_g]
+    Xlo = X[lo_g]
+    G_in = (G_tr - jnp.dot(Xva.T, Xva, precision=H)
+            - jnp.dot(Xlo.T, Xlo, precision=H))
+    Z_all, _ = _chol_factors_from_gram(G_in, Xva, alphas, normalpha)
+    XtY_in = (XtY_tr - jnp.dot(Xva.T, Yva, precision=sp)
+              - jnp.dot(Xlo.T, Y[lo_g], precision=sp))
+    return _score_alphas_from_factors(Z_all, XtY_in, Yva, use_corr, sp)
+
+
+@partial(jax.jit, static_argnames=("normalpha",))
+def _inner_fold_factors_from_gram(X, va_g, lo_g, G_tr, alphas,
+                                  normalpha: bool):
+    """Per-alpha Cholesky solve factors for one inner fold, from the outer
+    fold's downdated Gram (V-independent — computed once per inner fold,
+    shared by every voxel chunk)."""
+    H = jax.lax.Precision.HIGHEST
+    X = jnp.asarray(X, jnp.float32)
+    Xva = X[va_g]
+    Xlo = X[lo_g]
+    G_in = (G_tr - jnp.dot(Xva.T, Xva, precision=H)
+            - jnp.dot(Xlo.T, Xlo, precision=H))
+    Z_all, _ = _chol_factors_from_gram(G_in, Xva, alphas, normalpha)
+    return Z_all
+
+
+@partial(jax.jit,
+         static_argnames=("use_corr", "chunk", "n_chunks", "offset",
+                          "fast_scan"))
+def _score_inner_fold_chunks(X, Y, va_g, lo_g, Z_all, XtY_tr,
+                             use_corr: bool, chunk: int, n_chunks: int,
+                             offset: int = 0, fast_scan: bool = False):
+    """Voxel-chunked twin of _score_inner_fold_from_gram: streams chunks
+    through lax.map so whole-brain full-CV fits one chip (the unchunked
+    kernel's (D, V) + (Tva, V) transients OOM at V=95556 — 25 GB against
+    15.75 GB HBM, observed)."""
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
+    X = jnp.asarray(X, jnp.float32)
+    Xva = X[va_g]
+    Xlo = X[lo_g]
+    t = Y.shape[0]
+    d = XtY_tr.shape[0]
+
+    def body(c):
+        start = offset + c * chunk
+        Yc = jax.lax.dynamic_slice(Y, (0, start), (t, chunk))
+        Yva_c = Yc[va_g]
+        XtY_in = (jax.lax.dynamic_slice(XtY_tr, (0, start), (d, chunk))
+                  - jnp.dot(Xva.T, Yva_c, precision=sp)
+                  - jnp.dot(Xlo.T, Yc[lo_g], precision=sp))
+        return _score_alphas_from_factors(Z_all, XtY_in, Yva_c, use_corr,
+                                          sp)
+
+    out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
+    return jnp.moveaxis(out, 0, 1).reshape(Z_all.shape[0],
+                                           n_chunks * chunk)
+
+
+@partial(jax.jit, static_argnames=("chunk", "n_chunks"))
+def _downdate_outer_chunked(X, Y, G_full, XtY_full, te, chunk: int,
+                            n_chunks: int):
+    """(G_tr, XtY_tr) like _downdate_outer, but the (Tte, V) test-row
+    gather streams in voxel chunks — at whole-brain scale the one-shot
+    gather is a multi-GB transient next to the ~10 GB response matrix."""
+    H = jax.lax.Precision.HIGHEST
+    X = jnp.asarray(X, jnp.float32)
+    Xte = X[te]
+    G_tr = G_full - jnp.dot(Xte.T, Xte, precision=H)
+    t = Y.shape[0]
+
+    def body(c):
+        Yc = jax.lax.dynamic_slice(Y, (0, c * chunk), (t, chunk))
+        return jnp.dot(Xte.T, Yc[te], precision=H)  # (D, chunk)
+
+    parts = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, D, chunk)
+    v = XtY_full.shape[1]
+    full = n_chunks * chunk
+    XteYte = jnp.moveaxis(parts, 0, 1).reshape(XtY_full.shape[0], full)
+    if v > full:  # non-divisible tail
+        tail = jnp.dot(Xte.T, Y[:, full:][te], precision=H)
+        XteYte = jnp.concatenate([XteYte, tail], axis=1)
+    return G_tr, XtY_full - XteYte
+
+
+@partial(jax.jit, static_argnames=("singcutoff", "normalpha",
+                                   "chunk", "n_chunks", "offset",
+                                   "n_permutations"))
+def _refit_score_from_gram_chunks(G_tr, XtY_tr, Xte, Y, te, valphas,
+                                  singcutoff: float, normalpha: bool,
+                                  chunk: int, n_chunks: int,
+                                  offset: int = 0, perm_key=None,
+                                  n_permutations: int = 0):
+    """Voxel-chunked metrics-only twin of _refit_score_from_gram: ONE
+    eigensolve of the downdated Gram, then lax.map streams the per-voxel-
+    alpha refit + held-out scoring chunk by chunk (weights never
+    materialize whole). Returns (corr, perm_p or None)."""
+    from litcoder_core_tpu.ops.stats import pearson_r, permutation_pvalues
+
+    H = jax.lax.Precision.HIGHEST
+    evals, evecs = jnp.linalg.eigh(G_tr)
+    S = jnp.sqrt(jnp.maximum(jnp.flip(evals), 0.0))
+    Vh = jnp.flip(evecs, axis=1).T
+    good = S > singcutoff
+    inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
+    valphas = jnp.asarray(valphas, jnp.float32)
+    nal_all = valphas * S[0] if normalpha else valphas
+    t = Y.shape[0]
+    d = XtY_tr.shape[0]
+
+    def body(c):
+        start = offset + c * chunk
+        XtY_c = jax.lax.dynamic_slice(XtY_tr, (0, start), (d, chunk))
+        nal = jax.lax.dynamic_slice(nal_all, (start,), (chunk,))
+        Yte_c = jax.lax.dynamic_slice(Y, (0, start), (t, chunk))[te]
+        UR = inv_s[:, None] * jnp.dot(Vh, XtY_c, precision=H)
+        shrink = jnp.where(
+            good[:, None],
+            S[:, None] / (S[:, None] ** 2 + nal[None, :] ** 2), 0.0,
+        )
+        wt = jnp.dot(Vh.T, shrink * UR, precision=H)
+        pred = jnp.dot(Xte, wt, precision=H)
+        corr = pearson_r(Yte_c, pred)
+        if n_permutations:
+            p, _ = permutation_pvalues(Yte_c, pred, perm_key,
+                                       n_permutations=n_permutations)
+        else:
+            p = corr  # unused placeholder keeps the pytree static
+        return corr, p
+
+    corr, p = jax.lax.map(body, jnp.arange(n_chunks))
+    corr = corr.reshape(n_chunks * chunk)
+    return corr, (p.reshape(n_chunks * chunk) if n_permutations else None)
+
+
+@partial(jax.jit, static_argnames=("singcutoff", "normalpha",
+                                   "return_weights", "n_permutations"))
+def _refit_score_from_gram(G_tr, XtY_tr, Xte, Yte, valphas,
+                           singcutoff: float, normalpha: bool,
+                           return_weights: bool, perm_key=None,
+                           n_permutations: int = 0):
+    """Per-voxel-alpha refit + held-out scoring from the precomputed
+    training Gram/XtY — identical math to ridge_svd(method='eigh') +
+    ridge_fit_from_svd + predict (models/ridge.py), minus the Gram and
+    X_tr^T Y recomputation. n_permutations > 0 additionally returns
+    circular-shift permutation p-values (else None in that slot)."""
+    from litcoder_core_tpu.ops.stats import pearson_r, permutation_pvalues
+
+    H = jax.lax.Precision.HIGHEST
+    evals, evecs = jnp.linalg.eigh(G_tr)
+    S = jnp.sqrt(jnp.maximum(jnp.flip(evals), 0.0))
+    Vh = jnp.flip(evecs, axis=1).T
+    good = S > singcutoff
+    valphas = jnp.asarray(valphas, jnp.float32)
+    nal = valphas * S[0] if normalpha else valphas
+    inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
+    UR = inv_s[:, None] * jnp.dot(Vh, XtY_tr, precision=H)      # (k, V)
+    shrink = jnp.where(good[:, None],
+                       S[:, None] / (S[:, None] ** 2 + nal[None, :] ** 2),
+                       0.0)
+    wt = jnp.dot(Vh.T, shrink * UR, precision=H)                 # (D, V)
+    pred = jnp.dot(Xte, wt, precision=H)
+    corr = pearson_r(Yte, pred)
+    perm_p = None
+    if n_permutations:
+        perm_p, _ = permutation_pvalues(Yte, pred, perm_key,
+                                        n_permutations=n_permutations)
+    return (wt if return_weights else None), corr, perm_p
+
+
+def _full_cv_fused_eligible(method: str, normalpha: bool, alphas,
+                            singcutoff: float, normalize_features: bool,
+                            normalize_targets: bool, outer_splits,
+                            inner_splits_per_fold,
+                            n_features: int) -> bool:
+    """Gate for the fused full-CV path: the outer folds must be
+    partition-union structured (each fold's train rows = scheme union minus
+    its test rows — chunked folding produces this; rows outside the union,
+    e.g. the chunking remainder, are downdated away once), every inner fold
+    scheme must be partition-union over its outer-train rows with tall
+    training blocks, and the Cholesky search conditions must hold (same
+    rationale as _chol_search_eligible). Per-fold normalization changes the
+    data between outer folds, which breaks any cross-fold reuse."""
+    if method not in ("auto", "chol"):
+        return False
+    if normalize_features or normalize_targets:
+        return False
+    if not normalpha or singcutoff > 1e-10:
+        return False
+    a = np.asarray(alphas)
+    if not (a.size and np.all(a >= 0.03)):
+        return False
+    if not _folds_partition_union(
+        [(np.asarray(tr), np.asarray(te)) for tr, te in outer_splits]
+    ):
+        return False
+    for inner in inner_splits_per_fold:
+        inner = [(np.asarray(t), np.asarray(v)) for t, v in inner]
+        if not _folds_partition_union(inner):
+            return False
+        if not all(len(itr) >= n_features for itr, _ in inner):
+            return False
+    return True
 
 
 def _folds_cover_all_rows(fold_splits, n_rows: int) -> bool:
@@ -402,6 +676,12 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
     full = (n_voxels // chunk) * chunk
     complement = _folds_cover_all_rows(fold_splits, X.shape[0])
     G_all = _full_gram(X) if complement else None
+    # Share X^T Y across folds (it is fold-independent; per-fold recompute
+    # was the dominant matmul of the search) — but only when chunking is
+    # off: with chunking on, the user asked for minimal persistent
+    # V-buffers and the extra (D, V) array defeats that.
+    XtY_all = (_xty_scan(X, Y, fast_scan)
+               if complement and chunk >= n_voxels else None)
 
     corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
     for train_idx, val_idx in fold_splits:
@@ -419,7 +699,7 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
         def score_fold(c, n_c, off):
             if complement:
                 return _score_fold_chol_all_complement(
-                    X, Y, va, Z_all, use_corr, c, n_c, off, fast_scan,
+                    X, Y, va, Z_all, None, use_corr, c, n_c, off, fast_scan,
                 )
             return _score_fold_chol_all(
                 X, Y, tr, va, Z_all, use_corr, c, n_c, off, fast_scan,
@@ -430,7 +710,7 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
             # for mesh-sharded Y; also the cleanest single-chip program).
             if complement:
                 fold_scores = _score_fold_chol_whole_complement(
-                    X, Y, va, Z_all, use_corr, fast_scan,
+                    X, Y, va, Z_all, XtY_all, use_corr, fast_scan,
                 )
             else:
                 fold_scores = _score_chunk_chol(Z_all, X[tr], Y[tr], Y[va],
@@ -491,19 +771,94 @@ def _find_best_alphas(
     singcutoff: float,
     voxel_chunk_size: Optional[int],
     method: str = "auto",
-    fast_scan: bool = False,
+    fast_scan=False,
 ) -> np.ndarray:
     """Inner-CV alpha search: mean fold score per (alpha, voxel), then argmax.
 
     Mirrors nested_cv.py:_find_best_alphas:334-415 — ties break to the first
-    (smallest-index) alpha like torch.argmax. When every fold has the same
-    shape (chunked folding with n_chunks divisible by n_folds), the folds are
-    vmapped into ONE jitted program — identical numerics, one dispatch.
+    (smallest-index) alpha like torch.argmax.
+
+    fast_scan: False (fp32-HIGHEST scan, reference parity), True (bf16 MXU
+    passes on the scan matmuls — ~2-4x faster), or 'auto' (GUARDED: run the
+    fast scan, then validate its per-voxel alpha argmax against an fp32
+    scan on a small calibration voxel subset; accept if >= 98% agree, else
+    redo the full search at fp32 — see _find_best_alphas_guarded).
+    """
+    if fast_scan == "auto":
+        return _find_best_alphas_guarded(
+            X, Y, fold_splits, alphas, single_alpha, normalpha, use_corr,
+            singcutoff, voxel_chunk_size, method,
+        )
+    mean_corrs = _mean_fold_scores(
+        X, Y, fold_splits, alphas, normalpha, use_corr, singcutoff,
+        voxel_chunk_size, method, fast_scan,
+    )
+    return _select_best_alphas(mean_corrs, alphas, single_alpha)
+
+
+# Guarded fast_scan='auto': agreement threshold and calibration size.
+FAST_SCAN_AGREE_THRESHOLD = 0.98
+FAST_SCAN_CALIB_VOXELS = 512
+
+
+def _find_best_alphas_guarded(X, Y, fold_splits, alphas, single_alpha,
+                              normalpha, use_corr, singcutoff,
+                              voxel_chunk_size, method) -> np.ndarray:
+    """fast_scan='auto': bf16 scan with an fp32 calibration guard.
+
+    The fast scan runs on ALL voxels; an fp32 scan runs on an evenly
+    spaced calibration subset (FAST_SCAN_CALIB_VOXELS). If the per-voxel
+    alpha argmax agrees on >= FAST_SCAN_AGREE_THRESHOLD of the calibration
+    voxels (the selections the bf16 pass could plausibly flip are argmax
+    ties between adjacent alphas), the fast result is accepted; otherwise
+    the full search re-runs at fp32-HIGHEST. Worst case costs the
+    calibration scan extra (~calib/V of an fp32 search); typical case is
+    the full fast_scan speedup with a quantified parity check."""
+    mc_fast = _mean_fold_scores(
+        X, Y, fold_splits, alphas, normalpha, use_corr, singcutoff,
+        voxel_chunk_size, method, True,
+    )
+    n_voxels = Y.shape[1]
+    calib = np.unique(np.linspace(
+        0, n_voxels - 1, min(FAST_SCAN_CALIB_VOXELS, n_voxels), dtype=int
+    ))
+    Y_cal = jnp.asarray(Y, jnp.float32)[:, jnp.asarray(calib)]
+    mc_cal = _mean_fold_scores(
+        X, Y_cal, fold_splits, alphas, normalpha, use_corr, singcutoff,
+        None, method, False,
+    )
+    pick_fast = np.asarray(jnp.argmax(mc_fast, axis=0))[calib]
+    pick_cal = np.asarray(jnp.argmax(mc_cal, axis=0))
+    agree = float(np.mean(pick_fast == pick_cal))
+    if agree >= FAST_SCAN_AGREE_THRESHOLD:
+        logger.info(
+            "fast_scan='auto': bf16 scan ACCEPTED (calibration argmax "
+            "agreement %.1f%% on %d voxels)", agree * 100, calib.size,
+        )
+        return _select_best_alphas(mc_fast, alphas, single_alpha)
+    logger.info(
+        "fast_scan='auto': bf16 scan REJECTED (agreement %.1f%% < %.0f%%); "
+        "re-running the search at fp32-HIGHEST", agree * 100,
+        FAST_SCAN_AGREE_THRESHOLD * 100,
+    )
+    mean_corrs = _mean_fold_scores(
+        X, Y, fold_splits, alphas, normalpha, use_corr, singcutoff,
+        voxel_chunk_size, method, False,
+    )
+    return _select_best_alphas(mean_corrs, alphas, single_alpha)
+
+
+def _mean_fold_scores(
+    X, Y, fold_splits, alphas, normalpha, use_corr, singcutoff,
+    voxel_chunk_size, method, fast_scan: bool,
+):
+    """(A, V) mean inner-fold scores.
 
     Search-path order: Cholesky fold-streaming (no eigendecompositions at
     all; any fold shapes) when `_chol_search_eligible`, else the
     complement-Gram eigh path (equal partition-union folds), else batched
-    per-fold spectral states, else the per-fold Python loop.
+    per-fold spectral states, else the per-fold Python loop. When every
+    fold has the same shape the folds are vmapped into ONE jitted program.
     """
     n_alphas, n_voxels = len(alphas), Y.shape[1]
     alphas_j = jnp.asarray(alphas, jnp.float32)
@@ -605,6 +960,14 @@ def _find_best_alphas(
             corr_sum = corr_sum + jnp.concatenate(chunks, axis=1)
         mean_corrs = corr_sum / len(fold_splits)  # (A, V)
 
+    return mean_corrs
+
+
+def _select_best_alphas(mean_corrs, alphas, single_alpha: bool) -> np.ndarray:
+    """Per-voxel (or global) argmax over mean fold scores; ties break to the
+    first (smallest-index) alpha like torch.argmax
+    (nested_cv.py:391-413)."""
+    n_voxels = mean_corrs.shape[1]
     if single_alpha:
         best_idx = int(jnp.argmax(jnp.mean(mean_corrs, axis=1)))
         best = np.full(n_voxels, float(alphas[best_idx]), dtype=np.float32)
@@ -625,6 +988,8 @@ def _fit_and_score(
     voxel_chunk_size: Optional[int],
     method: str = "auto",
     return_weights: bool = True,
+    perm_key=None,
+    n_permutations: int = 0,
 ) -> Tuple[Optional[np.ndarray], np.ndarray, np.ndarray]:
     """Refit with per-voxel alphas, predict held-out, return
     (weights (D,V) or None, correlations (V,), pvalues (V,)) as numpy.
@@ -632,7 +997,11 @@ def _fit_and_score(
     return_weights=False skips materializing the (D, V) weight matrix on
     host — for whole-brain fits that's a GB-scale transfer the common
     metrics-only workflow never uses (the reference's ModelSaver likewise
-    defaults to save_weights=False, utils.py:330)."""
+    defaults to save_weights=False, utils.py:330).
+
+    n_permutations > 0 replaces the parametric Pearson tail with on-device
+    circular-shift permutation p-values (ops.stats.permutation_pvalues;
+    one-sided on r) using `perm_key`."""
     n_voxels = Y_train.shape[1]
     # 'chol' is an alpha-SEARCH method; the per-voxel-alpha refit needs a
     # spectral basis (one elementwise (D, V) shrinkage vs A dense solves).
@@ -640,6 +1009,28 @@ def _fit_and_score(
     svd = ridge_svd(X_train, None, singcutoff=singcutoff, method=svd_method)
     valphas_j = jnp.asarray(valphas, jnp.float32)
     nalphas = valphas_j * svd.S[0] if normalpha else valphas_j
+
+    if n_permutations:
+        from litcoder_core_tpu.ops.stats import permutation_pvalues
+
+        # Permutation significance: every voxel chunk shares ONE key, so
+        # all voxels see the same null shifts (required for exchangeable
+        # BH input). Weights fetched only when asked for.
+        wt_parts, corr_parts, p_parts = [], [], []
+        for lo, hi in _voxel_chunks(n_voxels, voxel_chunk_size):
+            wt = ridge_fit_from_svd(svd, Y_train[:, lo:hi], nalphas[lo:hi])
+            y_pred = predict(X_test, wt)
+            p, obs = permutation_pvalues(Y_test[:, lo:hi], y_pred, perm_key,
+                                         n_permutations=n_permutations)
+            if return_weights:
+                wt_parts.append(wt)
+            corr_parts.append(obs)
+            p_parts.append(p)
+        correlations = np.asarray(jnp.concatenate(corr_parts))
+        pvalues = np.asarray(jnp.concatenate(p_parts), np.float64)
+        weights = (np.asarray(jnp.concatenate(wt_parts, axis=1))
+                   if return_weights else None)
+        return weights, correlations, pvalues
 
     if not return_weights:
         # Metrics-only: the whole refit+score runs as ONE dispatch
@@ -783,6 +1174,8 @@ def fit_nested_cv(
     fast_scan: bool = False,
     mesh=None,
     n_devices: Optional[int] = None,
+    significance: str = "parametric",
+    n_permutations: int = 1000,
 ) -> Tuple[Metrics, np.ndarray, np.ndarray]:
     """Nested-CV ridge fit. Signature and return contract match
     NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with
@@ -796,12 +1189,30 @@ def fit_nested_cv(
     weights, alphas, and metrics over a 1-D device mesh — the voxelwise
     solve is embarrassingly parallel, so the whole fit runs with zero
     collectives; the TPU-native replacement for the reference's `use_gpu`
-    device knob, encoding/models/nested_cv.py:84-95).
+    device knob, encoding/models/nested_cv.py:84-95), and
+    `significance`/`n_permutations` ('parametric' keeps the reference's
+    two-sided Pearson t-tail, encoding/models/nested_cv.py:418-438;
+    'permutation' computes ONE-SIDED circular-shift permutation p-values
+    fully on device — shifts preserve fMRI autocorrelation, so these are
+    typically more conservative than the parametric tail for smooth time
+    series, and they floor at 1/(n_permutations+1); BH-FDR and the
+    full-CV Fisher combination run on them unchanged).
 
     Returns:
         (metrics, weights (n_features, n_voxels), best_alphas (n_voxels,))
     """
     del use_gpu  # JAX places everything on the best available device
+    if significance not in ("parametric", "permutation"):
+        raise ValueError(
+            f"significance must be 'parametric' or 'permutation', got "
+            f"{significance!r}"
+        )
+    if fast_scan not in (True, False, "auto"):
+        raise ValueError(
+            f"fast_scan must be True, False or 'auto', got {fast_scan!r}"
+        )
+    n_perm = n_permutations if significance == "permutation" else 0
+    perm_key = jax.random.PRNGKey(seed) if n_perm else None
     if alphas is None:
         alphas = np.logspace(-1, 8, 10)
     alphas = np.asarray(alphas, np.float32)
@@ -864,7 +1275,8 @@ def fit_nested_cv(
         wt, correlations, pvalues = _fit_and_score(
             features_j, targets_j, X_test_j, y_test_j, best_valphas,
             normalpha, singcutoff, voxel_chunk_size, method,
-            return_weights=return_weights,
+            return_weights=return_weights, perm_key=perm_key,
+            n_permutations=n_perm,
         )
         if vox_mesh is not None:
             # Strip the sharding pad BEFORE any decision statistic: padded
@@ -884,6 +1296,9 @@ def fit_nested_cv(
             list(correlations), list(pvalues), corrected_pvals, significant,
             best_valphas, n_significant,
         )
+        if n_perm:
+            # Additive key (reference keys unchanged for parametric runs).
+            metrics["significance_method"] = "permutation"
         logger.info("Median correlation: %.3f", metrics["median_score"])
         return metrics, wt, best_valphas
 
@@ -895,49 +1310,236 @@ def fit_nested_cv(
             groups, seed=seed,
         )
 
+    # Inner splits for every outer fold, built up front (the fused path's
+    # eligibility depends on their structure).
+    inner_per_fold = []
+    for fold_idx, (train_idx, _test_idx) in enumerate(outer_splits):
+        if inner_splits is not None:
+            fis = (inner_splits[fold_idx]
+                   if isinstance(inner_splits[0], list)
+                   else inner_splits)
+        elif groups is not None and folding_type == "group":
+            inner_groups = np.asarray(groups)[train_idx]
+            fis = create_folds(
+                len(train_idx), "group", n_inner_folds, groups=inner_groups,
+                seed=seed + fold_idx + 1,
+            )
+        else:
+            fis = create_folds(
+                len(train_idx), folding_type, n_inner_folds, chunk_length,
+                seed=seed + fold_idx + 1,
+            )
+        inner_per_fold.append(fis)
+
+    fused = _full_cv_fused_eligible(
+        method, normalpha, alphas, singcutoff, normalize_features,
+        normalize_targets, outer_splits, inner_per_fold, features_j.shape[1],
+    )
+    # With a voxel_chunk_size the fused path streams voxel chunks through
+    # its scoring/refit kernels (whole-brain V=95556 needs this: the
+    # unchunked kernels' (., V) transients exceed HBM).
+    fused_chunk = voxel_chunk_size if fused else None
+    if fused:
+        logger.info(
+            "full-CV path: fused outer-fold streaming (one union Gram/XtY "
+            "downdated per fold; zero per-fold eigensolves in the search)"
+        )
+        alphas_j = jnp.asarray(alphas, jnp.float32)
+        G_full = _full_gram(features_j)
+        XtY_full = _xty(features_j, targets_j)
+        # Rows outside the fold-scheme union (chunking remainder) are in no
+        # fold at all: downdate them away once so G/XtY describe exactly
+        # the union.
+        union = np.unique(np.concatenate(
+            [np.concatenate([tr, te]) for tr, te in outer_splits]
+        ))
+        leftover = np.setdiff1d(
+            np.arange(targets_j.shape[0]), union, assume_unique=True
+        )
+        if leftover.size:
+            G_full, XtY_full = _downdate_outer(
+                features_j, targets_j, G_full, XtY_full,
+                jnp.asarray(leftover),
+            )
+    else:
+        logger.info("full-CV path: per-fold (fused ineligible; see "
+                    "_full_cv_fused_eligible for the gates)")
+
     fold_scores, fold_pvalues, fold_valphas = [], [], []
     fold_significant_masks, fold_weights = [], []
 
     n_outer = len(outer_splits)  # may differ from n_outer_folds if injected
     for fold_idx, (train_idx, test_idx) in enumerate(outer_splits):
         logger.info("Processing fold %d/%d", fold_idx + 1, n_outer)
-        tr = jnp.asarray(train_idx)
-        te = jnp.asarray(test_idx)
-        X_train, X_te = features_j[tr], features_j[te]
-        y_train, y_te = targets_j[tr], targets_j[te]
+        fold_inner_splits = inner_per_fold[fold_idx]
 
-        if normalize_features or normalize_targets:
-            normalizer = DataNormalizer(normalize_features, normalize_targets)
-            X_train, y_train = normalizer.fit_transform(X_train, y_train)
-            X_te, y_te = normalizer.transform(X_te, y_te)
-
-        if inner_splits is not None:
-            fold_inner_splits = (inner_splits[fold_idx]
-                                 if isinstance(inner_splits[0], list)
-                                 else inner_splits)
-        elif groups is not None and folding_type == "group":
-            inner_groups = np.asarray(groups)[train_idx]
-            fold_inner_splits = create_folds(
-                len(train_idx), "group", n_inner_folds, groups=inner_groups,
-                seed=seed + fold_idx + 1,
+        if fused:
+            tr_np = np.asarray(train_idx)
+            te_j = jnp.asarray(test_idx)
+            n_vox_pad = targets_j.shape[1]
+            chunked = (fused_chunk is not None and fused_chunk < n_vox_pad)
+            if chunked:
+                G_tr, XtY_tr = _downdate_outer_chunked(
+                    features_j, targets_j, G_full, XtY_full, te_j,
+                    fused_chunk, n_vox_pad // fused_chunk,
+                )
+            else:
+                G_tr, XtY_tr = _downdate_outer(
+                    features_j, targets_j, G_full, XtY_full, te_j
+                )
+            # Inner-union leftover (train rows of the outer fold that no
+            # inner fold touches, e.g. chunking remainder): downdated
+            # INSIDE the per-fold scoring program so no extra persistent
+            # (D, V) buffer is held.
+            inner_union = np.unique(np.concatenate(
+                [np.concatenate([t, v]) for t, v in fold_inner_splits]
+            ))
+            in_leftover = np.setdiff1d(
+                np.arange(len(tr_np)), inner_union, assume_unique=True
             )
+            lo_g = jnp.asarray(tr_np[in_leftover])
+
+            def inner_scores(Yf, XtYf, fs):
+                n_v = Yf.shape[1]
+                acc = None
+                for _itr, iva in fold_inner_splits:
+                    va_g = jnp.asarray(tr_np[np.asarray(iva)])
+                    if not chunked or fused_chunk >= n_v:
+                        s = _score_inner_fold_from_gram(
+                            features_j, Yf, va_g, lo_g, G_tr, XtYf,
+                            alphas_j, normalpha, use_corr, fs,
+                        )
+                    else:
+                        Z_all = _inner_fold_factors_from_gram(
+                            features_j, va_g, lo_g, G_tr, alphas_j,
+                            normalpha,
+                        )
+                        fullv = (n_v // fused_chunk) * fused_chunk
+                        parts = []
+                        if fullv:
+                            parts.append(_score_inner_fold_chunks(
+                                features_j, Yf, va_g, lo_g, Z_all, XtYf,
+                                use_corr, fused_chunk, fullv // fused_chunk,
+                                0, fs,
+                            ))
+                        if n_v > fullv:
+                            parts.append(_score_inner_fold_chunks(
+                                features_j, Yf, va_g, lo_g, Z_all, XtYf,
+                                use_corr, n_v - fullv, 1, fullv, fs,
+                            ))
+                        s = (jnp.concatenate(parts, axis=1)
+                             if len(parts) > 1 else parts[0])
+                    acc = s if acc is None else acc + s
+                return acc / len(fold_inner_splits)
+
+            mean_corrs = inner_scores(targets_j, XtY_tr,
+                                      bool(fast_scan))
+            if fast_scan == "auto":
+                # Same calibration guard as _find_best_alphas_guarded,
+                # using the fold's downdated XtY restricted to the
+                # calibration columns (all ops are columnwise).
+                calib = np.unique(np.linspace(
+                    0, targets_j.shape[1] - 1,
+                    min(FAST_SCAN_CALIB_VOXELS, targets_j.shape[1]),
+                    dtype=int,
+                ))
+                cal_j = jnp.asarray(calib)
+                mc_cal = inner_scores(targets_j[:, cal_j],
+                                      XtY_tr[:, cal_j], False)
+                agree = float(np.mean(
+                    np.asarray(jnp.argmax(mean_corrs, axis=0))[calib]
+                    == np.asarray(jnp.argmax(mc_cal, axis=0))
+                ))
+                if agree < FAST_SCAN_AGREE_THRESHOLD:
+                    logger.info(
+                        "fast_scan='auto' (fused full-CV fold %d): bf16 "
+                        "scan REJECTED (agreement %.1f%%); re-running at "
+                        "fp32", fold_idx + 1, agree * 100,
+                    )
+                    mean_corrs = inner_scores(targets_j, XtY_tr, False)
+                else:
+                    logger.info(
+                        "fast_scan='auto' (fused full-CV fold %d): bf16 "
+                        "scan accepted (agreement %.1f%%)",
+                        fold_idx + 1, agree * 100,
+                    )
+            best_valphas = _select_best_alphas(
+                mean_corrs, alphas, single_alpha
+            )
+            fold_valphas.append(best_valphas[:n_voxels_orig])
+            # Refit uses the FULL outer-train Gram/XtY (G_tr, not G_base:
+            # inner-leftover rows are training rows of this fold).
+            fold_key = (jax.random.fold_in(perm_key, fold_idx)
+                        if n_perm else None)
+            if chunked and not return_weights:
+                valphas_j = jnp.asarray(best_valphas)
+                fullv = (n_vox_pad // fused_chunk) * fused_chunk
+                Xte_j = features_j[te_j]
+                corr_parts, p_parts = [], []
+                if fullv:
+                    c0, p0 = _refit_score_from_gram_chunks(
+                        G_tr, XtY_tr, Xte_j, targets_j, te_j, valphas_j,
+                        singcutoff, normalpha, fused_chunk,
+                        fullv // fused_chunk, 0, fold_key, n_perm,
+                    )
+                    corr_parts.append(c0)
+                    p_parts.append(p0)
+                if n_vox_pad > fullv:
+                    c1, p1 = _refit_score_from_gram_chunks(
+                        G_tr, XtY_tr, Xte_j, targets_j, te_j, valphas_j,
+                        singcutoff, normalpha, n_vox_pad - fullv, 1,
+                        fullv, fold_key, n_perm,
+                    )
+                    corr_parts.append(c1)
+                    p_parts.append(p1)
+                corr_j = jnp.concatenate(corr_parts)
+                perm_p = jnp.concatenate(p_parts) if n_perm else None
+                wt = None
+            else:
+                # Weights requested (or small V): the unchunked refit —
+                # whole-brain + return_weights requires the (D, V) matrix
+                # anyway, so chunking it buys nothing.
+                wt, corr_j, perm_p = _refit_score_from_gram(
+                    G_tr, XtY_tr, features_j[te_j], targets_j[te_j],
+                    jnp.asarray(best_valphas), singcutoff, normalpha,
+                    return_weights, perm_key=fold_key,
+                    n_permutations=n_perm,
+                )
+            # Free the (D, V) buffers BEFORE the next fold's downdate —
+            # at whole-brain scale two live XtY_tr generations don't fit.
+            G_tr = XtY_tr = None
+            correlations = np.asarray(corr_j)
+            pvalues = (np.asarray(perm_p, np.float64) if n_perm
+                       else pearson_pvalues_f64(correlations,
+                                                len(test_idx)))
+            wt = np.asarray(wt) if return_weights else None
         else:
-            fold_inner_splits = create_folds(
-                len(train_idx), folding_type, n_inner_folds, chunk_length,
-                seed=seed + fold_idx + 1,
+            tr = jnp.asarray(train_idx)
+            te = jnp.asarray(test_idx)
+            X_train, X_te = features_j[tr], features_j[te]
+            y_train, y_te = targets_j[tr], targets_j[te]
+
+            if normalize_features or normalize_targets:
+                normalizer = DataNormalizer(normalize_features,
+                                            normalize_targets)
+                X_train, y_train = normalizer.fit_transform(X_train, y_train)
+                X_te, y_te = normalizer.transform(X_te, y_te)
+
+            best_valphas = _find_best_alphas(
+                X_train, y_train, fold_inner_splits, alphas, single_alpha,
+                normalpha, use_corr, singcutoff, voxel_chunk_size, method,
+                fast_scan,
             )
+            fold_valphas.append(best_valphas[:n_voxels_orig])
 
-        best_valphas = _find_best_alphas(
-            X_train, y_train, fold_inner_splits, alphas, single_alpha,
-            normalpha, use_corr, singcutoff, voxel_chunk_size, method,
-            fast_scan,
-        )
-        fold_valphas.append(best_valphas[:n_voxels_orig])
-
-        wt, correlations, pvalues = _fit_and_score(
-            X_train, y_train, X_te, y_te, best_valphas, normalpha, singcutoff,
-            voxel_chunk_size, method, return_weights=return_weights,
-        )
+            wt, correlations, pvalues = _fit_and_score(
+                X_train, y_train, X_te, y_te, best_valphas, normalpha,
+                singcutoff, voxel_chunk_size, method,
+                return_weights=return_weights,
+                perm_key=(jax.random.fold_in(perm_key, fold_idx)
+                          if n_perm else None),
+                n_permutations=n_perm,
+            )
         if vox_mesh is not None:
             correlations = correlations[:n_voxels_orig]
             pvalues = pvalues[:n_voxels_orig]
@@ -976,6 +1578,8 @@ def fit_nested_cv(
         majority_significant_mask, mean_valphas, n_significant,
         n_majority_significant,
     )
+    if n_perm:
+        metrics["significance_method"] = "permutation"
     logger.info("Median correlation: %.3f", metrics["median_score"])
     return metrics, mean_weights, mean_valphas
 

@@ -93,6 +93,13 @@ def nested_cv_step(
     Returns:
         NestedCVResult(correlations, pvalues, best_alphas, weights).
     """
+    if not isinstance(fast_scan, bool):
+        raise ValueError(
+            "nested_cv_step takes a boolean fast_scan; the guarded "
+            "'auto' mode lives in models.nested_cv.fit_nested_cv (it "
+            "needs a second calibration dispatch, which this single-"
+            "program step deliberately avoids)"
+        )
     complement = (method in ("auto", "eigh", "woodbury")
                   and train_idx.shape[1] >= X.shape[1])
     if complement and not isinstance(train_idx, jax.core.Tracer):
