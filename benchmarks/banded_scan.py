@@ -1,0 +1,110 @@
+"""Banded-ridge benchmark: (gamma x alpha) scan cost at north-star scale.
+
+Banded ridge multiplies the alpha scan by n_gammas candidate band-variance
+vectors (models/banded.py:fit_banded_ridge); this records where that leaves
+the 2-minute north-star envelope for 3 bands at LeBel-like shapes, across
+n_gammas in {5, 10, 20}.
+
+Run: python benchmarks/banded_scan.py [--surface|--whole_brain]
+Writes benchmarks/banded_scan_tpu.json (the PARITY.md / docs artifact).
+"""
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--whole_brain", action="store_true",
+                        help="V=95556 instead of fsaverage5 20484")
+    parser.add_argument("--n_gammas", type=int, nargs="+",
+                        default=[5, 10, 20])
+    parser.add_argument("--t", type=int, default=26880)
+    args = parser.parse_args()
+
+    # 3 bands: LM (GPT-2 768 x 4 delays), speech-ish (512 x 4), wordrate
+    # (1 x 4) — the driver's banded config shape.
+    T, TP, A, F, CHUNK = args.t, 2048, 10, 5, 20
+    BAND_DIMS = [3072, 2048, 4]
+    V = 95556 if args.whole_brain else 20484
+
+    rng = np.random.default_rng(0)
+    print("building data...", flush=True)
+    Xs = [rng.normal(size=(T, d)).astype(np.float32) for d in BAND_DIMS]
+    X_tests = [rng.normal(size=(TP, d)).astype(np.float32)
+               for d in BAND_DIMS]
+    wt = [(rng.normal(size=(d, 128)) / np.sqrt(d)).astype(np.float32)
+          for d in BAND_DIMS]
+    mix = rng.normal(size=(128, V)).astype(np.float32) / 12
+    Y = sum(X @ w for X, w in zip(Xs, wt)) @ mix
+    Y = (Y + rng.normal(size=(T, V))).astype(np.float32)
+    y_test = sum(X @ w for X, w in zip(X_tests, wt)) @ mix
+    y_test = (y_test + rng.normal(size=(TP, V))).astype(np.float32)
+    alphas = np.logspace(-1, 8, A)
+
+    import jax
+
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    Xs = jax.device_put(Xs)
+    X_tests = jax.device_put(X_tests)
+    Y, y_test = jax.device_put((Y, y_test))
+    jax.block_until_ready((Xs, X_tests, Y, y_test))
+
+    results = []
+    for n_gammas in args.n_gammas:
+        print(f"n_gammas={n_gammas} (cold)...", flush=True)
+        t0 = time.perf_counter()
+        metrics, _, _, _ = fit_banded_ridge(
+            Xs, Y, X_tests=X_tests, y_test=y_test, alphas=alphas,
+            n_gammas=n_gammas, n_inner_folds=F, chunk_length=CHUNK, seed=0,
+        )
+        cold = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        metrics, _, _, _ = fit_banded_ridge(
+            Xs, Y, X_tests=X_tests, y_test=y_test, alphas=alphas,
+            n_gammas=n_gammas, n_inner_folds=F, chunk_length=CHUNK, seed=0,
+        )
+        warm = time.perf_counter() - t0
+        rec = {
+            "metric": "banded_ridge_fit_wall_seconds",
+            "n_gammas": n_gammas, "bands": BAND_DIMS, "T": T, "V": V,
+            "alphas": A, "inner_folds": F,
+            "platform": jax.devices()[0].platform,
+            "cold_s": round(cold, 2), "warm_s": round(warm, 2),
+            "median_r": round(float(metrics["median_score"]), 4),
+            "within_2min_envelope": warm < 120.0,
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # Scaling law: warm wall vs n_gammas (the scan term is linear in G; the
+    # fixed term is folds' factorization + refit).
+    if len(results) >= 2:
+        g = np.array([r["n_gammas"] for r in results], float)
+        w = np.array([r["warm_s"] for r in results], float)
+        slope, intercept = np.polyfit(g, w, 1)
+        results.append({
+            "metric": "banded_scan_scaling_law",
+            "warm_s_model": f"{intercept:.1f} + {slope:.2f} * n_gammas",
+            "gammas_at_2min": int((120.0 - intercept) / slope)
+            if slope > 0 else None,
+        })
+        print(json.dumps(results[-1]), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "banded_scan_tpu.json")
+    existing = []
+    if os.path.exists(out):
+        with open(out) as f:
+            existing = json.load(f)
+    with open(out, "w") as f:
+        json.dump(existing + results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

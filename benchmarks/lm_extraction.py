@@ -35,7 +35,15 @@ def main():
     parser.add_argument("--n_words", type=int, default=512)
     parser.add_argument("--d_model", type=int, default=256)
     parser.add_argument("--n_layer", type=int, default=4)
+    parser.add_argument("--n_head", type=int, default=4)
+    parser.add_argument("--gpt2_small", action="store_true",
+                        help="GPT-2-small shape (768/12/12, random "
+                             "weights) — the north-star extraction config")
+    parser.add_argument("--out", default=None,
+                        help="append the JSON record to this artifact file")
     args = parser.parse_args()
+    if args.gpt2_small:
+        args.d_model, args.n_layer, args.n_head = 768, 12, 12
 
     from transformers import FlaxGPT2Model, GPT2Config
 
@@ -45,7 +53,7 @@ def main():
 
     model = FlaxGPT2Model(
         GPT2Config(vocab_size=600, n_positions=256, n_embd=args.d_model,
-                   n_layer=args.n_layer, n_head=4),
+                   n_layer=args.n_layer, n_head=args.n_head),
         seed=0,
     )
     stimuli = build_fullcontext_stimuli(args.n_words)
@@ -71,17 +79,31 @@ def main():
     # Batched + prefix chains (the default for causal models).
     t_chain = timed(make(True, 64), "prefix chains")
 
+    import jax
+
     n = args.n_words
-    print(json.dumps({
+    rec = {
         "metric": "lm_extraction_windows_per_sec",
         "n_windows": n,
+        "d_model": args.d_model, "n_layer": args.n_layer,
+        "platform": jax.devices()[0].platform,
         "per_text_loop_sec": round(t_loop, 2),
         "batched_sec": round(t_batch, 2),
         "prefix_chain_sec": round(t_chain, 2),
         "batched_speedup": round(t_loop / t_batch, 1),
         "prefix_chain_speedup": round(t_loop / t_chain, 1),
         "windows_per_sec": round(n / t_chain, 1),
-    }))
+    }
+    print(json.dumps(rec))
+    if args.out:
+        import os
+
+        existing = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        with open(args.out, "w") as f:
+            json.dump(existing + [rec], f, indent=1)
 
 
 if __name__ == "__main__":

@@ -27,6 +27,9 @@ def main():
     parser.add_argument("--tpu", action="store_true",
                         help="use the real platform instead of forcing the "
                              "virtual CPU mesh")
+    parser.add_argument("--out", default=None,
+                        help="append the per-mesh records + summary to this "
+                             "JSON file (the PARITY.md artifact)")
     args = parser.parse_args()
 
     import jax
@@ -55,6 +58,7 @@ def main():
     alphas = np.logspace(-1, 8, A).astype(np.float32)
     train_idx, val_idx = equal_size_folds(T, F, CHUNK, seed=0)
 
+    records = []
     walls = {}
     for n in args.devices:
         mesh = make_mesh(n)
@@ -76,14 +80,18 @@ def main():
         for _ in range(args.iters):
             assert run() == s0
         walls[n] = (time.perf_counter() - t0) / args.iters
-        print(json.dumps({
+        record = {
             "metric": "weak_scaling_wall_seconds",
             "devices": n,
             "voxels": V,
+            "platform": jax.devices()[0].platform,
+            "shard_voxels_per_device": V // n,
             "value": round(walls[n], 3),
             "unit": f"s/step (T={T}, D={D}, vox/device="
                     f"{args.vox_per_device})",
-        }), flush=True)
+        }
+        records.append(record)
+        print(json.dumps(record), flush=True)
 
     n_min, n_max = min(walls), max(walls)
     summary = {
@@ -100,7 +108,17 @@ def main():
         # tests/test_parallel.py::test_compiled_sharded_step_has_no_tensor_collectives).
         summary["note"] = ("virtual CPU mesh: devices share host cores; "
                            "efficiency is only meaningful on real chips")
+    records.append(summary)
     print(json.dumps(summary))
+    if args.out:
+        import os
+
+        existing = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        with open(args.out, "w") as f:
+            json.dump(existing + records, f, indent=1)
 
 
 if __name__ == "__main__":
