@@ -19,11 +19,23 @@ from litcoder_core_tpu.ops import interp as interp_ops
 from litcoder_core_tpu.ops import segment as segment_ops
 
 
-def _per_word_pool(pool_fn, data, split_indices):
+def _per_word_pool(pool_fn, data, split_indices, tr_times=None):
+    """Pool per-word rows into TRs by the word->TR map.
+
+    The reference sizes its output as max(split_indices)+1
+    (downsampling.py:70,121), which silently DROPS trailing TRs that no
+    word maps to — downstream, features then have fewer rows than the
+    brain data and the fit crashes on a shape mismatch (the reference has
+    the same latent bug; its zero-init covers wordless TRs only in the
+    middle). When `tr_times` is available we emit exactly len(tr_times)
+    rows: identical values for every TR the reference emits, plus the
+    zero rows its own zero-init semantics imply for wordless TRs."""
     if split_indices is None:
         raise ValueError("split_indices must be provided for this method")
     ids = np.asarray(split_indices)
     n_trs = int(ids.max()) + 1
+    if tr_times is not None:
+        n_trs = max(n_trs, len(tr_times))
     return np.asarray(pool_fn(data, ids, n_trs))
 
 
@@ -101,15 +113,18 @@ class Downsampler:
 
     @staticmethod
     def _average(data, data_times, tr_times, split_indices=None):
-        return _per_word_pool(segment_ops.segment_mean_pool, data, split_indices)
+        return _per_word_pool(segment_ops.segment_mean_pool, data,
+                              split_indices, tr_times)
 
     @staticmethod
     def _sum(data, data_times, tr_times, split_indices=None):
-        return _per_word_pool(segment_ops.segment_sum_pool, data, split_indices)
+        return _per_word_pool(segment_ops.segment_sum_pool, data,
+                              split_indices, tr_times)
 
     @staticmethod
     def _last(data, data_times, tr_times, split_indices=None):
-        return _per_word_pool(segment_ops.segment_last_pool, data, split_indices)
+        return _per_word_pool(segment_ops.segment_last_pool, data,
+                              split_indices, tr_times)
 
     @staticmethod
     def _legacy_average(data, data_times, tr_times, split_indices=None):

@@ -511,25 +511,37 @@ def _downdate_outer_chunked(X, Y, G_full, XtY_full, te, chunk: int,
                             n_chunks: int):
     """(G_tr, XtY_tr) like _downdate_outer, but the (Tte, V) test-row
     gather streams in voxel chunks — at whole-brain scale the one-shot
-    gather is a multi-GB transient next to the ~10 GB response matrix."""
+    gather is a multi-GB transient next to the ~10 GB response matrix.
+
+    The downdated XtY accumulates through a fori_loop CARRY updated in
+    place with dynamic_update_slice: a lax.map producing a
+    (n_chunks, D, chunk) stack plus its moveaxis/reshape copy held ~2 GB
+    of extra transients, which is what pushed whole-brain (Y ~10 GB,
+    two (D, V) XtY generations ~2.3 GB) over the 15.75 GB HBM (observed
+    OOM inside this very function)."""
     H = jax.lax.Precision.HIGHEST
     X = jnp.asarray(X, jnp.float32)
     Xte = X[te]
     G_tr = G_full - jnp.dot(Xte.T, Xte, precision=H)
     t = Y.shape[0]
+    d = XtY_full.shape[0]
 
-    def body(c):
-        Yc = jax.lax.dynamic_slice(Y, (0, c * chunk), (t, chunk))
-        return jnp.dot(Xte.T, Yc[te], precision=H)  # (D, chunk)
+    def body(c, out):
+        start = c * chunk
+        Yc = jax.lax.dynamic_slice(Y, (0, start), (t, chunk))
+        cur = jax.lax.dynamic_slice(out, (0, start), (d, chunk))
+        upd = cur - jnp.dot(Xte.T, Yc[te], precision=H)
+        return jax.lax.dynamic_update_slice(out, upd, (0, start))
 
-    parts = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, D, chunk)
+    out = jax.lax.fori_loop(0, n_chunks, body, XtY_full)
     v = XtY_full.shape[1]
     full = n_chunks * chunk
-    XteYte = jnp.moveaxis(parts, 0, 1).reshape(XtY_full.shape[0], full)
-    if v > full:  # non-divisible tail
-        tail = jnp.dot(Xte.T, Y[:, full:][te], precision=H)
-        XteYte = jnp.concatenate([XteYte, tail], axis=1)
-    return G_tr, XtY_full - XteYte
+    if v > full:  # non-divisible tail (static size)
+        Ytail = jax.lax.dynamic_slice(Y, (0, full), (t, v - full))
+        upd = (jax.lax.dynamic_slice(out, (0, full), (d, v - full))
+               - jnp.dot(Xte.T, Ytail[te], precision=H))
+        out = jax.lax.dynamic_update_slice(out, upd, (0, full))
+    return G_tr, out
 
 
 @partial(jax.jit, static_argnames=("singcutoff", "normalpha",

@@ -101,3 +101,25 @@ def test_lanczos_through_facade(ds):
                         window=3, cutoff_mult=1.0)
     assert out.shape == (len(tr_times), 3)
     assert np.isfinite(out).all()
+
+
+def test_split_poolers_emit_all_trailing_trs(ds):
+    """Trailing TRs with no words must still get (zero) rows when tr_times
+    is provided — the reference sizes output as max(split)+1 and silently
+    drops them (reference downsampling.py:70,121), which desyncs features
+    from brain data downstream. With tr_times=None the reference shape is
+    preserved."""
+    n_trs, dim = 10, 3
+    data = rng.normal(size=(8, dim)).astype(np.float32)
+    split = [0, 0, 1, 2, 2, 3, 5, 5]  # TRs 4, 6..9 wordless; 6+ trailing
+    tr_times = np.arange(n_trs) * 2.0
+    for method in ("average", "sum", "last"):
+        out = ds.downsample(data, None, tr_times, method=method,
+                            split_indices=split)
+        assert out.shape == (n_trs, dim)
+        assert np.allclose(out[6:], 0.0)
+        assert np.allclose(out[4], 0.0)
+        ref_shape = ds.downsample(data, None, None, method=method,
+                                  split_indices=split)
+        assert ref_shape.shape == (6, dim)
+        assert np.allclose(out[:6], ref_shape, atol=1e-6)

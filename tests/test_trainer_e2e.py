@@ -28,7 +28,16 @@ TRUE_WEIGHTS = np.random.default_rng(99).normal(size=(4, N_VOX)).astype(
 
 def _make_story(name: str, n_trs: int = 80, n_vox: int = N_VOX,
                 words_per_tr: float = 3.0, signal_scale: float = 1.0):
-    """Synthetic story whose brain data carries word-rate signal."""
+    """Synthetic story whose brain data carries word-rate signal.
+
+    Seeded per NAME (not from a shared stream): several test files import
+    this helper, and drawing from one module-level stream made a story's
+    contents depend on which other tests ran first — a real order-
+    dependent flake (it once surfaced the trailing-empty-TR downsampler
+    bug only in full-suite runs)."""
+    import zlib
+
+    rng = np.random.default_rng(zlib.crc32(name.encode()))
     n_words = int(n_trs * words_per_tr)
     tr = 2.0
     tr_times = np.arange(n_trs) * tr + tr / 2
@@ -303,6 +312,66 @@ def test_trainer_banded_mode(assembly, tmp_path):
     # Wordrate band carries the signal; the fit should recover it.
     assert metrics["median_score"] > 0.2
     assert "best_gammas" in metrics
+
+
+def test_trainer_banded_wordless_final_tr(assembly, tmp_path):
+    """Regression: a story whose LAST TR contains no words. The split-index
+    downsampler used to size its output max(split)+1 (reference semantics,
+    reference downsampling.py:70,121), silently dropping the trailing TR —
+    features then had one row fewer than the brain data and banded training
+    crashed with a contraction-shape mismatch (surfaced order-dependently
+    in full-suite runs; see _per_word_pool)."""
+    import dataclasses
+
+    from litcoder_core_tpu.features.embeddings import SimpleKeyedVectors
+    from litcoder_core_tpu.models.banded import BandedRidgeModel
+
+    stories = []
+    for name in assembly.stories:
+        sd = assembly.story_data[name]
+        n_trs = len(sd.tr_times)
+        # Squeeze every word into the first n_trs-1 TRs.
+        scale = (n_trs - 1) / n_trs
+        data_times = np.asarray(sd.data_times) * scale
+        split = np.clip((data_times // 2.0).astype(int), 0, n_trs - 2)
+        stories.append(dataclasses.replace(
+            sd, data_times=data_times, split_indices=split.tolist(),
+        ))
+        assert max(stories[-1].split_indices) < n_trs - 1
+    asm = SimpleNeuroidAssembly(stories, validation_method="outer")
+
+    n_words_total = max(len(sd.words) for sd in asm.story_data.values())
+    vocab = [f"w{i}" for i in range(n_words_total)]
+    kv = SimpleKeyedVectors(vocab, rng.normal(size=(len(vocab), 5)))
+    kv_path = str(tmp_path / "v.kv")
+    kv.save_kv(kv_path)
+    wordrate = FeatureExtractorFactory.create_extractor(
+        "wordrate", "wordrate", {}
+    )
+    emb = FeatureExtractorFactory.create_extractor(
+        "embeddings", "vecs", {"vector_path": kv_path, "lowercase": False},
+    )
+    trainer = AbstractTrainer(
+        assembly=asm,
+        feature_extractors=[wordrate, emb],
+        downsampler=Downsampler(),
+        model=BandedRidgeModel(seed=0, n_gammas=3),
+        fir_delays=[1, 2],
+        trimming_config={
+            "train_features_start": 5, "train_features_end": -5,
+            "train_targets_start": 5, "train_targets_end": -5,
+            "test_features_start": 5, "test_features_end": -5,
+            "test_targets_start": 5, "test_targets_end": -5,
+        },
+        use_train_test_split=True,
+        dataset_type="lebel",
+        logger_backend="none",
+        results_dir=str(tmp_path / "results"),
+        downsample_config={"method": "average"},
+        concat_features=False,
+    )
+    metrics = trainer.train(chunk_length=10, n_inner_folds=3)
+    assert np.isfinite(metrics["median_score"])
 
 
 def test_trainer_banded_requires_train_test_split(assembly, tmp_path):
