@@ -24,6 +24,14 @@ def main():
                              "precision (bf16 passes, fp32 accumulate) — "
                              "alpha SELECTION tolerates this; refit and "
                              "final scoring stay full precision")
+    parser.add_argument("--significance", default="parametric",
+                        choices=["parametric", "permutation"],
+                        help="'permutation' = on-device circular-shift "
+                             "nulls (the north-star's 'permutation "
+                             "significance on-device')")
+    parser.add_argument("--n_permutations", type=int, default=1000)
+    parser.add_argument("--out", default=None,
+                        help="append the JSON record to this artifact file")
     args = parser.parse_args()
 
     T, TP, D, A, F, CHUNK = 26880, 2048, 3072, 10, 5, 20
@@ -55,6 +63,8 @@ def main():
             # Metrics-only (the reference's ModelSaver likewise defaults to
             # save_weights=False) — skips the GB-scale weight fetch.
             return_weights=False,
+            significance=args.significance,
+            n_permutations=args.n_permutations,
         )
 
     print("cold fit (transfers + compile + compute)...", flush=True)
@@ -73,6 +83,29 @@ def main():
     print(f"warm: {warm:.1f}s  median r={metrics['median_score']:.3f}",
           flush=True)
     print(f"NORTHSTAR cold={cold:.1f}s warm={warm:.1f}s V={V}", flush=True)
+    if args.out:
+        import json
+        import os
+
+        rec = {
+            "metric": "northstar_fit_wall_seconds",
+            "T": T, "TP": TP, "D": D, "V": V, "alphas": A,
+            "inner_folds": F, "fast_scan": args.fast_scan,
+            "significance": args.significance,
+            "n_permutations": (args.n_permutations
+                               if args.significance == "permutation"
+                               else None),
+            "platform": jax.devices()[0].platform,
+            "cold_s": round(cold, 1), "warm_s": round(warm, 1),
+            "median_r": round(float(metrics["median_score"]), 4),
+            "n_significant": int(metrics["n_significant"]),
+        }
+        existing = []
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                existing = json.load(f)
+        with open(args.out, "w") as f:
+            json.dump(existing + [rec], f, indent=1)
 
 
 if __name__ == "__main__":

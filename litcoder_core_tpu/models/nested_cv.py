@@ -518,7 +518,14 @@ def _downdate_outer_chunked(X, Y, G_full, XtY_full, te, chunk: int,
     (n_chunks, D, chunk) stack plus its moveaxis/reshape copy held ~2 GB
     of extra transients, which is what pushed whole-brain (Y ~10 GB,
     two (D, V) XtY generations ~2.3 GB) over the 15.75 GB HBM (observed
-    OOM inside this very function)."""
+    OOM inside this very function).
+
+    The non-divisible tail is handled by the SEPARATE `_downdate_xty_tail`
+    dispatch: when Y is both a while-loop operand and referenced by
+    post-loop ops in the same program, XLA's buffer assignment inserts a
+    full copy of Y (observed: a 9.57 GB `copy(Y)` HLO temp — instant OOM).
+    Every other whole-brain kernel in this file follows the same
+    full-chunks-dispatch + tail-dispatch split for this reason."""
     H = jax.lax.Precision.HIGHEST
     X = jnp.asarray(X, jnp.float32)
     Xte = X[te]
@@ -533,15 +540,20 @@ def _downdate_outer_chunked(X, Y, G_full, XtY_full, te, chunk: int,
         upd = cur - jnp.dot(Xte.T, Yc[te], precision=H)
         return jax.lax.dynamic_update_slice(out, upd, (0, start))
 
-    out = jax.lax.fori_loop(0, n_chunks, body, XtY_full)
-    v = XtY_full.shape[1]
-    full = n_chunks * chunk
-    if v > full:  # non-divisible tail (static size)
-        Ytail = jax.lax.dynamic_slice(Y, (0, full), (t, v - full))
-        upd = (jax.lax.dynamic_slice(out, (0, full), (d, v - full))
-               - jnp.dot(Xte.T, Ytail[te], precision=H))
-        out = jax.lax.dynamic_update_slice(out, upd, (0, full))
-    return G_tr, out
+    return G_tr, jax.lax.fori_loop(0, n_chunks, body, XtY_full)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("offset", "tail"))
+def _downdate_xty_tail(out, X, Y, te, offset: int, tail: int):
+    """Downdate the non-divisible tail columns of `out` (donated: updated
+    in place — whole-brain cannot afford a third (D, V) generation)."""
+    H = jax.lax.Precision.HIGHEST
+    t = Y.shape[0]
+    Ytail = jax.lax.dynamic_slice(Y, (0, offset), (t, tail))
+    Xte = jnp.asarray(X, jnp.float32)[te]
+    upd = (jax.lax.dynamic_slice(out, (0, offset), (out.shape[0], tail))
+           - jnp.dot(Xte.T, Ytail[te], precision=H))
+    return jax.lax.dynamic_update_slice(out, upd, (0, offset))
 
 
 @partial(jax.jit, static_argnames=("singcutoff", "normalpha",
@@ -1391,10 +1403,17 @@ def fit_nested_cv(
             n_vox_pad = targets_j.shape[1]
             chunked = (fused_chunk is not None and fused_chunk < n_vox_pad)
             if chunked:
+                n_full_c = n_vox_pad // fused_chunk
                 G_tr, XtY_tr = _downdate_outer_chunked(
                     features_j, targets_j, G_full, XtY_full, te_j,
-                    fused_chunk, n_vox_pad // fused_chunk,
+                    fused_chunk, n_full_c,
                 )
+                if n_vox_pad > n_full_c * fused_chunk:
+                    XtY_tr = _downdate_xty_tail(
+                        XtY_tr, features_j, targets_j, te_j,
+                        n_full_c * fused_chunk,
+                        n_vox_pad - n_full_c * fused_chunk,
+                    )
             else:
                 G_tr, XtY_tr = _downdate_outer(
                     features_j, targets_j, G_full, XtY_full, te_j
