@@ -166,6 +166,14 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             "--n_devices is not yet supported with --banded; the "
             "voxel-sharded solve is wired for NestedCVModel only"
         )
+    if config.get("banded") and (
+            config.get("significance", "parametric") != "parametric"
+            or config.get("fast_scan", False)):
+        raise ValueError(
+            "--significance/--fast_scan are not supported with --banded "
+            "(the banded (gamma, alpha) scan has its own solver; its "
+            "significance is the parametric tail)"
+        )
 
     if config.get("assembly_path"):
         assembly = load_assembly(config["assembly_path"])
@@ -272,6 +280,9 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             normalize_features=config["normalize_features"],
             normalize_targets=config["normalize_targets"],
             seed=config.get("seed", 0),
+            fast_scan=config.get("fast_scan", False),
+            significance=config.get("significance", "parametric"),
+            n_permutations=config.get("n_permutations", 1000),
         )
     try:
         metrics = trainer.train(**train_kwargs)
@@ -347,6 +358,17 @@ def parse_args(argv=None):
                              "style across tp_model devices)")
     parser.add_argument("--use_gpu", action="store_true",
                         help="Accepted for parity; JAX picks the device")
+    parser.add_argument("--fast_scan", nargs="?", const=True, default=False,
+                        type=lambda s: {"true": True, "false": False,
+                                        "auto": "auto"}[s.lower()],
+                        help="bf16 MXU passes for the alpha scan: omit for "
+                             "fp32 parity, bare flag or 'true' for always-"
+                             "on, 'auto' for the guarded calibration mode")
+    parser.add_argument("--significance", type=str, default="parametric",
+                        choices=["parametric", "permutation"],
+                        help="'permutation' = on-device circular-shift "
+                             "nulls (autocorrelation-preserving, one-sided)")
+    parser.add_argument("--n_permutations", type=int, default=1000)
     parser.add_argument("--n_devices", type=int, default=None,
                         help="Shard the voxel axis of the ridge solve over "
                              "this many devices (1-D mesh; zero-collective "

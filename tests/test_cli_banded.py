@@ -185,6 +185,53 @@ def test_banded_flags_parse():
     assert args2.banded is False
 
 
+def test_round3_flags_parse():
+    base = ["--dataset_type", "lebel", "--ndelays", "4", "--lookback",
+            "256", "--cache_dir", "c"]
+    args = parse_args(base)
+    assert args.fast_scan is False
+    assert args.significance == "parametric"
+    assert parse_args(base + ["--fast_scan"]).fast_scan is True
+    assert parse_args(base + ["--fast_scan", "auto"]).fast_scan == "auto"
+    args2 = parse_args(base + ["--significance", "permutation",
+                               "--n_permutations", "500"])
+    assert args2.significance == "permutation"
+    assert args2.n_permutations == 500
+
+
+def test_banded_rejects_significance_and_fast_scan(tmp_path):
+    assembly = SimpleNeuroidAssembly(
+        [_make_story(f"s{i}") for i in range(3)], "outer"
+    )
+    asm_path = str(tmp_path / "asm.pkl")
+    save_assembly(assembly, asm_path)
+    config = _banded_config(tmp_path, asm_path)
+    config["significance"] = "permutation"
+    with pytest.raises(ValueError, match="not supported with --banded"):
+        run(config)
+    config["significance"] = "parametric"
+    config["fast_scan"] = True
+    with pytest.raises(ValueError, match="not supported with --banded"):
+        run(config)
+
+
+def test_cli_permutation_significance_end_to_end(tmp_path):
+    """--significance permutation flows through trainer -> model: metrics
+    carry significance_method and floored p-values."""
+    assembly = SimpleNeuroidAssembly(
+        [_make_story(f"s{i}") for i in range(3)], "outer"
+    )
+    asm_path = str(tmp_path / "asm.pkl")
+    save_assembly(assembly, asm_path)
+    config = _banded_config(tmp_path, asm_path)
+    config["banded"] = False
+    config["significance"] = "permutation"
+    config["n_permutations"] = 100
+    metrics = run(config)
+    assert metrics["significance_method"] == "permutation"
+    assert min(metrics["p_values"]) >= 1.0 / 101 - 1e-9
+
+
 def test_cli_trimming_flag_changes_structured_shapes(tmp_path, monkeypatch):
     """--test_targets_start N must flow into the structured test split
     (reference override logic: unified.py:522-535)."""
