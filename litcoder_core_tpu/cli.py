@@ -160,12 +160,6 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         dataset_config["trimming"].update(custom_trimming)
         logger.info("Using custom trimming parameters: %s", custom_trimming)
 
-    if config.get("banded") and config.get("n_devices"):
-        # Validate config combinations BEFORE any expensive assembly work.
-        raise ValueError(
-            "--n_devices is not yet supported with --banded; the "
-            "voxel-sharded solve is wired for NestedCVModel only"
-        )
     if config.get("banded") and (
             config.get("significance", "parametric") != "parametric"
             or config.get("fast_scan", False)):
@@ -233,7 +227,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         from litcoder_core_tpu.models.banded import BandedRidgeModel
 
         model = BandedRidgeModel(seed=config.get("seed", 0),
-                                 n_gammas=config.get("n_gammas", 10))
+                                 n_gammas=config.get("n_gammas", 10),
+                                 n_devices=config.get("n_devices"))
     else:
         model = NestedCVModel(model_name="ridge_regression",
                               seed=config.get("seed", 0),

@@ -68,7 +68,8 @@ def _scale_vector(Xs: Sequence, gamma) -> jnp.ndarray:
 
 
 def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
-                  use_corr: bool, singcutoff: float, method: str):
+                  use_corr: bool, singcutoff: float, method: str,
+                  vox_mesh=None):
     """(G, A, V) inner-CV scores for every gamma candidate.
 
     Fast path (equal-shape folds, tall design): the per-fold block Grams and
@@ -77,10 +78,19 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
     (X_g)^T Y = s * (X^T Y) — so the G x F Gram recomputations and the
     G-fold duplication of the X^T Y matmuls collapse to scalings. Only the
     eigensolve remains per (gamma, fold).
+
+    With `vox_mesh`, Y_j arrives voxel-sharded; the features are replicated
+    here and the whole (G, A, V) score program is columnwise in V, so the
+    scan partitions over devices with zero tensor collectives (same property
+    as the nested-CV mesh path).
     """
     from litcoder_core_tpu.models.ridge import score_alpha_grid
 
     Xc = jnp.concatenate([jnp.asarray(X, jnp.float32) for X in Xs], axis=1)
+    if vox_mesh is not None:
+        from litcoder_core_tpu.parallel.mesh import replicate
+
+        Xc = replicate(Xc, vox_mesh)
     T, D = Xc.shape
     G_n = gammas.shape[0]
     alphas_j = jnp.asarray(alphas, jnp.float32)
@@ -100,7 +110,9 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
         # Fallback: direct per-(gamma, fold) factorizations.
         all_scores = []
         for g_idx in range(G_n):
-            Xg = _scale_bands(Xs, gammas[g_idx])
+            # Scale the shared concatenated features (elementwise-identical
+            # to _scale_bands; keeps the mesh replication of Xc).
+            Xg = Xc * _scale_vector(Xs, gammas[g_idx])[None, :]
             corr_sum = jnp.zeros((len(alphas), Y_j.shape[1]), jnp.float32)
             for train_idx, val_idx in inner_splits:
                 tr, va = jnp.asarray(train_idx), jnp.asarray(val_idx)
@@ -215,6 +227,8 @@ def fit_banded_ridge(
     singcutoff: float = 1e-10,
     seed: int = 0,
     method: str = "auto",
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> Tuple[Dict, np.ndarray, np.ndarray, np.ndarray]:
     """Banded ridge with per-voxel (gamma, alpha) selection by inner CV.
 
@@ -223,18 +237,39 @@ def fit_banded_ridge(
         Y: (T, V) training responses.
         X_tests: list of (Tp, D_b) test feature spaces (required with y_test).
         y_test: (Tp, V) test responses.
+        mesh / n_devices: optional 1-D voxel mesh (or a device count to build
+            one) — shards the (gamma, alpha) scan's voxel axis over the mesh,
+            the same multi-chip knob as fit_nested_cv (the TPU-native
+            analogue of the reference's in-fit device selection,
+            encoding/models/nested_cv.py:84-95). The argmax/refit/test
+            statistics run on host as before.
 
     Returns:
         (metrics, weights (sum D_b, V), best_alphas (V,), best_gammas (V, B)).
         Metrics keys mirror the train/test nested-CV dict plus 'best_gammas'.
     """
+    from litcoder_core_tpu.parallel.mesh import resolve_voxel_mesh
+
     if alphas is None:
         alphas = np.logspace(-1, 8, 10)
     alphas = np.asarray(alphas, np.float32)
     n_bands = len(Xs)
     T = Xs[0].shape[0]
     V = Y.shape[1]
-    Y_j = jnp.asarray(Y, jnp.float32)
+    Y_np = np.asarray(Y, np.float32)
+    Y_j = jnp.asarray(Y_np)
+
+    vox_mesh = resolve_voxel_mesh(mesh, n_devices, who="fit_banded_ridge")
+    if vox_mesh is not None:
+        from litcoder_core_tpu.parallel.mesh import shard_voxels
+        from litcoder_core_tpu.parallel.step import pad_voxels
+
+        Y_j, _ = pad_voxels(Y_j, vox_mesh.devices.size)
+        Y_j = shard_voxels(Y_j, vox_mesh, axis=vox_mesh.axis_names[0])
+        logger.info(
+            "banded voxel-sharded scan: %d voxels (+%d pad) over %d devices",
+            V, Y_j.shape[1] - V, vox_mesh.devices.size,
+        )
 
     gammas = sample_gammas(n_bands, n_gammas, seed=seed)
     inner_splits = create_folds(
@@ -245,8 +280,11 @@ def fit_banded_ridge(
     # scores has shape (G, A, V): mean fold correlation per gamma candidate.
     scores = _score_gammas(
         Xs, Y_j, gammas, inner_splits, np.asarray(alphas), normalpha,
-        use_corr, singcutoff, method,
+        use_corr, singcutoff, method, vox_mesh=vox_mesh,
     )
+    # Strip any sharding pad BEFORE the argmax: padded all-zero response
+    # columns must not participate in any decision.
+    scores = scores[..., :V]
 
     # Joint argmax over (gamma, alpha) per voxel.
     flat = scores.reshape(-1, V)  # (G*A, V)
@@ -268,7 +306,10 @@ def fit_banded_ridge(
         svd = ridge_svd(Xg, None, singcutoff=singcutoff, method=svd_method)
         val = jnp.asarray(best_alphas[sel], jnp.float32)
         nal = val * svd.S[0] if normalpha else val
-        wt = np.asarray(ridge_fit_from_svd(svd, Y_j[:, jnp.asarray(sel)], nal))
+        # Gather the group's responses on HOST (Y_np): with a sharded Y_j a
+        # data-dependent voxel gather would force cross-device collectives.
+        wt = np.asarray(ridge_fit_from_svd(svd, jnp.asarray(Y_np[:, sel]),
+                                           nal))
         # Undo the band scaling so weights apply to RAW features:
         # y = (X*sqrt(g)) w  =>  w_raw = sqrt(g) * w.
         scale = np.concatenate([
@@ -311,17 +352,27 @@ def fit_banded_ridge(
 
 
 class BandedRidgeModel:
-    """Object API over fit_banded_ridge, mirroring NestedCVModel style."""
+    """Object API over fit_banded_ridge, mirroring NestedCVModel style.
+
+    `mesh`/`n_devices` make multi-chip a first-class model option, same as
+    NestedCVModel: the (gamma, alpha) scan's voxel axis shards over a 1-D
+    device mesh.
+    """
 
     def __init__(self, model_name: str = "banded_ridge", seed: int = 0,
-                 n_gammas: int = 10):
+                 n_gammas: int = 10, mesh=None,
+                 n_devices: Optional[int] = None):
         self.model_name = model_name
         self.seed = seed
         self.n_gammas = n_gammas
+        self.mesh = mesh
+        self.n_devices = n_devices
 
     def fit_predict(self, feature_spaces, targets, X_tests=None, y_test=None,
                     **kwargs):
         kwargs.setdefault("seed", self.seed)
         kwargs.setdefault("n_gammas", self.n_gammas)
+        kwargs.setdefault("mesh", self.mesh)
+        kwargs.setdefault("n_devices", self.n_devices)
         return fit_banded_ridge(feature_spaces, targets, X_tests=X_tests,
                                 y_test=y_test, **kwargs)

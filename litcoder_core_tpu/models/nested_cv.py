@@ -1145,29 +1145,11 @@ def _refit_score_all(svd, Y_train, Y_test, X_test, nalphas, chunk: int,
 
 
 def _resolve_mesh(mesh, n_devices: Optional[int]):
-    """Resolve the user-facing mesh knobs into a 1-D voxel mesh (or None).
+    """Thin wrapper over parallel.mesh.resolve_voxel_mesh (shared with the
+    banded solver); kept under its historical name for callers/tests."""
+    from litcoder_core_tpu.parallel.mesh import resolve_voxel_mesh
 
-    This is the TPU-native analogue of the reference's in-fit device knob
-    (use_gpu + device selection, encoding/models/nested_cv.py:84-95): the
-    mesh is an argument of the FIT, not a separate power-user API.
-    """
-    if mesh is None and n_devices is None:
-        return None
-    if mesh is None:
-        from litcoder_core_tpu.parallel.mesh import make_mesh
-
-        mesh = make_mesh(n_devices)
-    if len(mesh.axis_names) != 1:
-        raise ValueError(
-            f"fit_nested_cv expects a 1-D (voxel) mesh; got axes "
-            f"{mesh.axis_names}"
-        )
-    if n_devices is not None and mesh.devices.size != n_devices:
-        raise ValueError(
-            f"mesh has {mesh.devices.size} devices but n_devices="
-            f"{n_devices} was requested; pass one or the other"
-        )
-    return mesh
+    return resolve_voxel_mesh(mesh, n_devices, who="fit_nested_cv")
 
 
 def fit_nested_cv(

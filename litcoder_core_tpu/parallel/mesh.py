@@ -36,6 +36,30 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (axis,))
 
 
+def resolve_voxel_mesh(mesh, n_devices: Optional[int], who: str = "fit"):
+    """Resolve the user-facing mesh knobs into a 1-D voxel mesh (or None).
+
+    This is the TPU-native analogue of the reference's in-fit device knob
+    (use_gpu + device selection, encoding/models/nested_cv.py:84-95): the
+    mesh is an argument of the FIT, not a separate power-user API. Shared
+    by fit_nested_cv and fit_banded_ridge.
+    """
+    if mesh is None and n_devices is None:
+        return None
+    if mesh is None:
+        mesh = make_mesh(n_devices)
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"{who} expects a 1-D (voxel) mesh; got axes {mesh.axis_names}"
+        )
+    if n_devices is not None and mesh.devices.size != n_devices:
+        raise ValueError(
+            f"mesh has {mesh.devices.size} devices but n_devices="
+            f"{n_devices} was requested; pass one or the other"
+        )
+    return mesh
+
+
 def shard_voxels(array, mesh: Mesh, axis: str = VOX_AXIS):
     """Place an array with its LAST axis sharded over the mesh.
 

@@ -170,14 +170,83 @@ def test_cli_n_devices_flag():
     assert args.n_devices == 8
 
 
-def test_cli_n_devices_banded_rejected(tmp_path):
-    from litcoder_core_tpu.cli import main
+@needs_mesh
+def test_banded_fit_mesh_invariant(caplog):
+    """fit_banded_ridge with the mesh knob: the voxel-sharded (gamma, alpha)
+    scan must reproduce the unsharded selection, weights, and statistics
+    (V=21 exercises pad+strip ahead of the per-voxel argmax)."""
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
 
-    with pytest.raises(ValueError, match="banded"):
-        main([
-            "--dataset_type", "lebel", "--modality", "wordrate",
-            "--model_name", "wordrate", "--ndelays", "4",
-            "--lookback", "256", "--cache_dir", str(tmp_path),
-            "--assembly_path", "unused.pkl", "--banded",
-            "--n_devices", "8",
-        ])
+    T, Tp, V = 240, 60, 21
+    X1 = rng.normal(size=(T, 6)).astype(np.float32)
+    X2 = rng.normal(size=(T, 4)).astype(np.float32)
+    wt1 = rng.normal(size=(6, V)).astype(np.float32)
+    Y = (X1 @ wt1 + 0.5 * rng.normal(size=(T, V))).astype(np.float32)
+    Xt1 = rng.normal(size=(Tp, 6)).astype(np.float32)
+    Xt2 = rng.normal(size=(Tp, 4)).astype(np.float32)
+    Yt = (Xt1 @ wt1 + 0.5 * rng.normal(size=(Tp, V))).astype(np.float32)
+    kwargs = dict(alphas=np.logspace(-1, 3, 5), n_gammas=3,
+                  chunk_length=10, n_inner_folds=4, seed=0)
+
+    m_p, w_p, a_p, g_p = fit_banded_ridge(
+        [X1, X2], Y, X_tests=[Xt1, Xt2], y_test=Yt, **kwargs)
+    with caplog.at_level(logging.INFO,
+                         logger="litcoder_core_tpu.models.banded"):
+        m_m, w_m, a_m, g_m = fit_banded_ridge(
+            [X1, X2], Y, X_tests=[Xt1, Xt2], y_test=Yt, n_devices=8,
+            **kwargs)
+
+    assert any("voxel-sharded scan" in r.message for r in caplog.records)
+    assert np.allclose(a_m, a_p)
+    assert np.array_equal(g_m, g_p)
+    assert np.allclose(w_m, w_p, atol=1e-4)
+    assert np.allclose(m_m["correlations"], m_p["correlations"], atol=1e-4)
+    assert m_m["n_significant"] == m_p["n_significant"]
+
+
+@needs_mesh
+def test_banded_fit_mesh_invariant_svd_fallback():
+    """method='svd' forces the per-(gamma, fold) factorization fallback;
+    it must shard identically (the replicated-Xc scaling path)."""
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    T, V = 160, 13
+    X1 = rng.normal(size=(T, 5)).astype(np.float32)
+    X2 = rng.normal(size=(T, 3)).astype(np.float32)
+    Y = rng.normal(size=(T, V)).astype(np.float32)
+    kwargs = dict(alphas=np.logspace(-1, 3, 4), n_gammas=3,
+                  chunk_length=10, n_inner_folds=3, seed=0, method="svd")
+    m_p, w_p, a_p, g_p = fit_banded_ridge([X1, X2], Y, **kwargs)
+    m_m, w_m, a_m, g_m = fit_banded_ridge([X1, X2], Y, n_devices=8,
+                                          **kwargs)
+    assert np.allclose(a_m, a_p)
+    assert np.array_equal(g_m, g_p)
+    assert np.allclose(w_m, w_p, atol=1e-4)
+
+
+@needs_mesh
+def test_cli_banded_n_devices_end_to_end(tmp_path):
+    """--banded --n_devices through the CLI run(): sharded and unsharded
+    runs must agree (replaces the round-2 refusal of this combination)."""
+    from litcoder_core_tpu.assembly.assemblies import SimpleNeuroidAssembly
+    from litcoder_core_tpu.assembly.assembly_loader import save_assembly
+    from litcoder_core_tpu.cli import run
+    from tests.test_cli_banded import _banded_config
+    from tests.test_trainer_e2e import _make_story
+
+    assembly = SimpleNeuroidAssembly(
+        [_make_story(f"s{i}") for i in range(3)], "outer"
+    )
+    asm_path = str(tmp_path / "asm.pkl")
+    save_assembly(assembly, asm_path)
+
+    m_plain = run(_banded_config(tmp_path, asm_path,
+                                 cache_dir=str(tmp_path / "c1"),
+                                 results_dir=str(tmp_path / "r1")))
+    m_mesh = run(_banded_config(tmp_path, asm_path, n_devices=8,
+                                cache_dir=str(tmp_path / "c2"),
+                                results_dir=str(tmp_path / "r2")))
+    assert m_mesh["median_score"] > 0.2
+    assert abs(m_mesh["median_score"] - m_plain["median_score"]) < 1e-4
+    assert np.array_equal(np.asarray(m_mesh["best_gammas"]),
+                          np.asarray(m_plain["best_gammas"]))
