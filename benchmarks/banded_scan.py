@@ -24,7 +24,12 @@ def main():
     parser.add_argument("--n_gammas", type=int, nargs="+",
                         default=[5, 10, 20])
     parser.add_argument("--t", type=int, default=26880)
+    parser.add_argument("--fast_scan", nargs="?", const=True, default=False,
+                        help="bf16 scan matmuls (bare flag or 'auto' for "
+                             "the guarded calibration mode)")
     args = parser.parse_args()
+    fast_scan = (args.fast_scan if args.fast_scan in (False, True)
+                 else str(args.fast_scan))
 
     # 3 bands: LM (GPT-2 768 x 4 delays), speech-ish (512 x 4), wordrate
     # (1 x 4) — the driver's banded config shape.
@@ -62,18 +67,20 @@ def main():
         metrics, _, _, _ = fit_banded_ridge(
             Xs, Y, X_tests=X_tests, y_test=y_test, alphas=alphas,
             n_gammas=n_gammas, n_inner_folds=F, chunk_length=CHUNK, seed=0,
+            fast_scan=fast_scan,
         )
         cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         metrics, _, _, _ = fit_banded_ridge(
             Xs, Y, X_tests=X_tests, y_test=y_test, alphas=alphas,
             n_gammas=n_gammas, n_inner_folds=F, chunk_length=CHUNK, seed=0,
+            fast_scan=fast_scan,
         )
         warm = time.perf_counter() - t0
         rec = {
             "metric": "banded_ridge_fit_wall_seconds",
             "n_gammas": n_gammas, "bands": BAND_DIMS, "T": T, "V": V,
-            "alphas": A, "inner_folds": F,
+            "alphas": A, "inner_folds": F, "fast_scan": str(fast_scan),
             "platform": jax.devices()[0].platform,
             "cold_s": round(cold, 2), "warm_s": round(warm, 2),
             "median_r": round(float(metrics["median_score"]), 4),

@@ -161,10 +161,9 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         logger.info("Using custom trimming parameters: %s", custom_trimming)
 
     if config.get("banded") and (
-            config.get("significance", "parametric") != "parametric"
-            or config.get("fast_scan", False)):
+            config.get("significance", "parametric") != "parametric"):
         raise ValueError(
-            "--significance/--fast_scan are not supported with --banded "
+            "--significance is not supported with --banded "
             "(the banded (gamma, alpha) scan has its own solver; its "
             "significance is the parametric tail)"
         )
@@ -261,6 +260,7 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             normalpha=True,
             use_corr=True,
             seed=config.get("seed", 0),
+            fast_scan=config.get("fast_scan", False),
         )
     else:
         train_kwargs = dict(

@@ -69,7 +69,7 @@ def _scale_vector(Xs: Sequence, gamma) -> jnp.ndarray:
 
 def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
                   use_corr: bool, singcutoff: float, method: str,
-                  vox_mesh=None):
+                  vox_mesh=None, fast_scan: bool = False):
     """(G, A, V) inner-CV scores for every gamma candidate.
 
     Fast path (equal-shape folds, tall design): the per-fold block Grams and
@@ -107,6 +107,14 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
             and a_np.size and np.all(a_np >= 0.03)):
         scan = "chol"
     if len(shapes) != 1 or method == "svd" or not tall:
+        if fast_scan:
+            # The per-(gamma, fold) fallback has no bf16 scan variant;
+            # surface the downgrade instead of silently honoring the flag.
+            logger.warning(
+                "banded fast_scan requested but the direct per-(gamma, "
+                "fold) fallback engaged (unequal folds / method='svd' / "
+                "fat design); running the fp32 scan"
+            )
         # Fallback: direct per-(gamma, fold) factorizations.
         all_scores = []
         for g_idx in range(G_n):
@@ -131,21 +139,28 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
     scales = jnp.stack([_scale_vector(Xs, g) for g in gammas])  # (G, D)
     return _score_gammas_fast(
         Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha, use_corr,
-        singcutoff, scan,
+        singcutoff, scan, fast_scan,
     )
 
 
 @partial(jax.jit,
-         static_argnames=("normalpha", "use_corr", "singcutoff", "scan"))
+         static_argnames=("normalpha", "use_corr", "singcutoff", "scan",
+                          "fast_scan"))
 def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
                        normalpha: bool, use_corr: bool, singcutoff: float,
-                       scan: str = "eigh"):
+                       scan: str = "eigh", fast_scan: bool = False):
     """(G, A, V) scores with shared per-fold Grams/cross-products.
 
     scan='chol' solves each (gamma, alpha) system by Cholesky instead of
     eigendecomposing per (gamma, fold) — algebraically identical for
     alpha > 0 (cf. models.nested_cv chol search), with normalpha's S[0]
     from a Lanczos lambda-max.
+
+    fast_scan=True runs the V-scaled matmuls (the fold cross-product X^T Y
+    and the per-(gamma, alpha) prediction matmuls) at default MXU precision
+    (bf16 passes, fp32 accumulate), same policy as the plain solver's scan:
+    the (gamma, alpha) SELECTION is an argmax over smooth score curves; the
+    Gram/factorization side stays fp32-HIGHEST and so does the refit.
     """
     from litcoder_core_tpu.models.ridge import (
         _score_predictions,
@@ -155,11 +170,12 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
     from litcoder_core_tpu.ops.stats import zscore
 
     H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
 
     def one_fold(tr, va):
         Xtr, Xva = Xc[tr], Xc[va]
         G_tr = jnp.dot(Xtr.T, Xtr, precision=H)       # (D, D), gamma-free
-        XtY = jnp.dot(Xtr.T, Y[tr], precision=H)       # (D, V), gamma-free
+        XtY = jnp.dot(Xtr.T, Y[tr], precision=sp)      # (D, V), gamma-free
         Yva = Y[va]
 
         if scan == "chol":
@@ -183,7 +199,7 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
                         L, Xva_s_T, lower=True)
                     Z = jax.scipy.linalg.solve_triangular(
                         L.T, Z, lower=False)            # (D, Tva)
-                    pred = jnp.dot(Z.T, sXtY, precision=H)
+                    pred = jnp.dot(Z.T, sXtY, precision=sp)
                     return _score_predictions(pred, Yva, zP, Pvar,
                                               use_corr)
 
@@ -200,11 +216,12 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
                 PVh = jnp.dot(Xva * s[None, :], Vh.T, precision=H)
                 inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
                 UR = inv_s[:, None] * jnp.dot(
-                    Vh, s[:, None] * XtY, precision=H
+                    Vh, s[:, None] * XtY, precision=sp
                 )
                 nal = alphas * S[0] if normalpha else alphas
                 return score_alpha_grid(S, good, PVh, UR, Yva, nal,
-                                        use_corr=use_corr)
+                                        use_corr=use_corr,
+                                        fast_scan=fast_scan)
 
         return jax.lax.map(one_gamma, scales)  # (G, A, V)
 
@@ -229,6 +246,7 @@ def fit_banded_ridge(
     method: str = "auto",
     mesh=None,
     n_devices: Optional[int] = None,
+    fast_scan=False,
 ) -> Tuple[Dict, np.ndarray, np.ndarray, np.ndarray]:
     """Banded ridge with per-voxel (gamma, alpha) selection by inner CV.
 
@@ -243,6 +261,12 @@ def fit_banded_ridge(
             analogue of the reference's in-fit device selection,
             encoding/models/nested_cv.py:84-95). The argmax/refit/test
             statistics run on host as before.
+        fast_scan: False (fp32-HIGHEST scan), True (bf16 MXU passes on the
+            scan's V-scaled matmuls), or 'auto' (guarded: bf16 scan, then
+            validate its per-voxel (gamma, alpha) argmax against an fp32
+            scan on a calibration voxel subset; falls back to fp32 on
+            disagreement — same policy and thresholds as fit_nested_cv).
+            The refit always runs fp32-HIGHEST.
 
     Returns:
         (metrics, weights (sum D_b, V), best_alphas (V,), best_gammas (V, B)).
@@ -278,13 +302,46 @@ def fit_banded_ridge(
 
     # --- score every (gamma, alpha) on inner CV ---------------------------
     # scores has shape (G, A, V): mean fold correlation per gamma candidate.
-    scores = _score_gammas(
-        Xs, Y_j, gammas, inner_splits, np.asarray(alphas), normalpha,
-        use_corr, singcutoff, method, vox_mesh=vox_mesh,
-    )
     # Strip any sharding pad BEFORE the argmax: padded all-zero response
     # columns must not participate in any decision.
-    scores = scores[..., :V]
+    def _scan(Y_in, fast: bool, mesh_in):
+        s = _score_gammas(
+            Xs, Y_in, gammas, inner_splits, np.asarray(alphas), normalpha,
+            use_corr, singcutoff, method, vox_mesh=mesh_in, fast_scan=fast,
+        )
+        return s[..., :V] if Y_in is Y_j else s
+
+    if fast_scan == "auto":
+        from litcoder_core_tpu.models.nested_cv import (
+            FAST_SCAN_AGREE_THRESHOLD,
+            FAST_SCAN_CALIB_VOXELS,
+        )
+
+        scores = _scan(Y_j, True, vox_mesh)
+        calib = np.unique(np.linspace(
+            0, V - 1, min(FAST_SCAN_CALIB_VOXELS, V), dtype=int
+        ))
+        s_cal = _scan(jnp.asarray(Y_np[:, calib]), False, None)
+        pick_fast = np.asarray(
+            jnp.argmax(scores.reshape(-1, V), axis=0))[calib]
+        pick_cal = np.asarray(jnp.argmax(
+            s_cal.reshape(-1, calib.size), axis=0))
+        agree = float(np.mean(pick_fast == pick_cal))
+        if agree >= FAST_SCAN_AGREE_THRESHOLD:
+            logger.info(
+                "banded fast_scan='auto': bf16 scan ACCEPTED (calibration "
+                "(gamma, alpha) argmax agreement %.1f%% on %d voxels)",
+                agree * 100, calib.size,
+            )
+        else:
+            logger.info(
+                "banded fast_scan='auto': bf16 scan REJECTED (agreement "
+                "%.1f%% < %.0f%%); re-running the scan at fp32-HIGHEST",
+                agree * 100, FAST_SCAN_AGREE_THRESHOLD * 100,
+            )
+            scores = _scan(Y_j, False, vox_mesh)
+    else:
+        scores = _scan(Y_j, bool(fast_scan), vox_mesh)
 
     # Joint argmax over (gamma, alpha) per voxel.
     flat = scores.reshape(-1, V)  # (G*A, V)

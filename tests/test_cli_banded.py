@@ -147,6 +147,7 @@ def test_banded_flag_via_argv(tmp_path):
         "--model_names", "wordrate", "vecs",
         "--vector_path", kv_path,
         "--banded", "--n_gammas", "3",
+        "--fast_scan", "auto",
         "--ndelays", "2", "--lookback", "64",
         "--cache_dir", str(tmp_path / "cache"),
         "--results_dir", str(tmp_path / "results"),
@@ -199,7 +200,7 @@ def test_round3_flags_parse():
     assert args2.n_permutations == 500
 
 
-def test_banded_rejects_significance_and_fast_scan(tmp_path):
+def test_banded_rejects_significance(tmp_path):
     assembly = SimpleNeuroidAssembly(
         [_make_story(f"s{i}") for i in range(3)], "outer"
     )
@@ -209,10 +210,76 @@ def test_banded_rejects_significance_and_fast_scan(tmp_path):
     config["significance"] = "permutation"
     with pytest.raises(ValueError, match="not supported with --banded"):
         run(config)
-    config["significance"] = "parametric"
-    config["fast_scan"] = True
-    with pytest.raises(ValueError, match="not supported with --banded"):
-        run(config)
+
+
+def test_banded_fast_scan_matches_fp32():
+    """fast_scan=True/'auto' on the banded scan: on CPU the DEFAULT matmul
+    precision IS fp32, so selections and weights must match exactly, and
+    'auto' must log ACCEPTED."""
+    import logging
+
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    T, Tp, V = 200, 50, 9
+    X1 = rng.normal(size=(T, 5)).astype(np.float32)
+    X2 = rng.normal(size=(T, 3)).astype(np.float32)
+    wt = rng.normal(size=(5, V)).astype(np.float32)
+    Y = (X1 @ wt + 0.5 * rng.normal(size=(T, V))).astype(np.float32)
+    Xt1 = rng.normal(size=(Tp, 5)).astype(np.float32)
+    Xt2 = rng.normal(size=(Tp, 3)).astype(np.float32)
+    Yt = (Xt1 @ wt + 0.5 * rng.normal(size=(Tp, V))).astype(np.float32)
+    kw = dict(alphas=np.logspace(-1, 3, 5), n_gammas=3, chunk_length=10,
+              n_inner_folds=4, seed=0)
+
+    m0, w0, a0, g0 = fit_banded_ridge([X1, X2], Y, X_tests=[Xt1, Xt2],
+                                      y_test=Yt, **kw)
+    m1, w1, a1, g1 = fit_banded_ridge([X1, X2], Y, X_tests=[Xt1, Xt2],
+                                      y_test=Yt, fast_scan=True, **kw)
+    assert np.array_equal(a1, a0) and np.array_equal(g1, g0)
+    assert np.allclose(w1, w0)
+
+    logger = logging.getLogger("litcoder_core_tpu.models.banded")
+    records = []
+
+    class Grab(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    h = Grab(level=logging.INFO)
+    logger.addHandler(h)
+    old_level = logger.level
+    logger.setLevel(logging.INFO)
+    try:
+        m2, w2, a2, g2 = fit_banded_ridge(
+            [X1, X2], Y, X_tests=[Xt1, Xt2], y_test=Yt, fast_scan="auto",
+            **kw)
+    finally:
+        logger.removeHandler(h)
+        logger.setLevel(old_level)
+    assert any("ACCEPTED" in m for m in records)
+    assert np.array_equal(a2, a0) and np.array_equal(g2, g0)
+
+
+def test_banded_fast_scan_fallback_path_warns(caplog):
+    """method='svd' forces the per-(gamma, fold) fallback, which has no
+    bf16 variant: fast_scan must warn and produce the fp32 result."""
+    import logging
+
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    T, V = 120, 6
+    X1 = rng.normal(size=(T, 4)).astype(np.float32)
+    X2 = rng.normal(size=(T, 3)).astype(np.float32)
+    Y = rng.normal(size=(T, V)).astype(np.float32)
+    kw = dict(alphas=np.logspace(-1, 3, 4), n_gammas=2, chunk_length=10,
+              n_inner_folds=3, seed=0, method="svd")
+    m0, w0, a0, g0 = fit_banded_ridge([X1, X2], Y, **kw)
+    with caplog.at_level(logging.WARNING,
+                         logger="litcoder_core_tpu.models.banded"):
+        m1, w1, a1, g1 = fit_banded_ridge([X1, X2], Y, fast_scan=True, **kw)
+    assert any("fallback engaged" in r.message for r in caplog.records)
+    assert np.array_equal(a1, a0) and np.array_equal(g1, g0)
+    assert np.allclose(w1, w0)
 
 
 def test_cli_permutation_significance_end_to_end(tmp_path):
