@@ -103,14 +103,9 @@ def main():
         })
         print(json.dumps(results[-1]), flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "banded_scan_tpu.json")
-    existing = []
-    if os.path.exists(out):
-        with open(out) as f:
-            existing = json.load(f)
-    with open(out, "w") as f:
-        json.dump(existing + results, f, indent=1)
+    from _artifacts import append_records, artifact_path
+
+    append_records(artifact_path(__file__, "banded_scan_tpu.json"), results)
 
 
 if __name__ == "__main__":

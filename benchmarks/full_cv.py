@@ -102,15 +102,9 @@ def main():
         print(f"per-fold: warm={results['perfold_warm_s']}s; "
               f"fused speedup {results['speedup_warm']}x", flush=True)
 
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "full_cv_tpu.json")
-    existing = []
-    if os.path.exists(out):
-        with open(out) as f:
-            existing = json.load(f)
-    existing.append(results)
-    with open(out, "w") as f:
-        json.dump(existing, f, indent=1)
+    from _artifacts import append_records, artifact_path
+
+    append_records(artifact_path(__file__, "full_cv_tpu.json"), [results])
     print(json.dumps(results))
 
 

@@ -96,14 +96,9 @@ def main():
     }
     print(json.dumps(rec))
     if args.out:
-        import os
+        from _artifacts import append_records
 
-        existing = []
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                existing = json.load(f)
-        with open(args.out, "w") as f:
-            json.dump(existing + [rec], f, indent=1)
+        append_records(args.out, [rec])
 
 
 if __name__ == "__main__":

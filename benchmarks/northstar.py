@@ -100,12 +100,9 @@ def main():
             "median_r": round(float(metrics["median_score"]), 4),
             "n_significant": int(metrics["n_significant"]),
         }
-        existing = []
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                existing = json.load(f)
-        with open(args.out, "w") as f:
-            json.dump(existing + [rec], f, indent=1)
+        from _artifacts import append_records
+
+        append_records(args.out, [rec])
 
 
 if __name__ == "__main__":

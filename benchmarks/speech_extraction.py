@@ -88,12 +88,9 @@ def main():
     print(json.dumps(rec))
     os.unlink(tmp.name)
     if args.out:
-        existing = []
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                existing = json.load(f)
-        with open(args.out, "w") as f:
-            json.dump(existing + [rec], f, indent=1)
+        from _artifacts import append_records
+
+        append_records(args.out, [rec])
 
 
 if __name__ == "__main__":

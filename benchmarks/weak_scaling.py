@@ -111,14 +111,9 @@ def main():
     records.append(summary)
     print(json.dumps(summary))
     if args.out:
-        import os
+        from _artifacts import append_records
 
-        existing = []
-        if os.path.exists(args.out):
-            with open(args.out) as f:
-                existing = json.load(f)
-        with open(args.out, "w") as f:
-            json.dump(existing + records, f, indent=1)
+        append_records(args.out, records)
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ def main():
     print(f"{n} {jax.devices()[0].platform} device(s)")
 
     rng = np.random.default_rng(0)
-    T, Tp, D, V = 600, 150, 24, 1000  # V deliberately not divisible by n
+    T, Tp, D, V = 600, 150, 24, 1001  # V deliberately not divisible by n
     X = rng.normal(size=(T, D)).astype(np.float32)
     wt = rng.normal(size=(D, V)).astype(np.float32)
     Y = (X @ wt + 2 * rng.normal(size=(T, V))).astype(np.float32)

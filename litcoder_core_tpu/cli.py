@@ -292,6 +292,18 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
     return metrics
 
 
+def _fast_scan_arg(s: str):
+    """--fast_scan value parser: argparse only converts ValueError-family
+    exceptions from type callables into clean usage errors, so raise
+    ArgumentTypeError (not KeyError) for anything outside the contract."""
+    try:
+        return {"true": True, "false": False, "auto": "auto"}[s.lower()]
+    except KeyError:
+        raise argparse.ArgumentTypeError(
+            f"expected 'true', 'false' or 'auto', got {s!r}"
+        ) from None
+
+
 def parse_args(argv=None):
     """CLI surface (reference: unified.py:425-504) + TPU-build additions."""
     parser = argparse.ArgumentParser(
@@ -354,8 +366,7 @@ def parse_args(argv=None):
     parser.add_argument("--use_gpu", action="store_true",
                         help="Accepted for parity; JAX picks the device")
     parser.add_argument("--fast_scan", nargs="?", const=True, default=False,
-                        type=lambda s: {"true": True, "false": False,
-                                        "auto": "auto"}[s.lower()],
+                        type=_fast_scan_arg,
                         help="bf16 MXU passes for the alpha scan: omit for "
                              "fp32 parity, bare flag or 'true' for always-"
                              "on, 'auto' for the guarded calibration mode")

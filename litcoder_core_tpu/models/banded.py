@@ -274,6 +274,13 @@ def fit_banded_ridge(
     """
     from litcoder_core_tpu.parallel.mesh import resolve_voxel_mesh
 
+    if fast_scan not in (True, False, "auto"):
+        # Same contract as fit_nested_cv: reject truthy strings like
+        # 'false'/'Auto' instead of silently bool()-coercing them into the
+        # unguarded bf16 scan.
+        raise ValueError(
+            f"fast_scan must be True, False or 'auto', got {fast_scan!r}"
+        )
     if alphas is None:
         alphas = np.logspace(-1, 8, 10)
     alphas = np.asarray(alphas, np.float32)
@@ -313,32 +320,14 @@ def fit_banded_ridge(
 
     if fast_scan == "auto":
         from litcoder_core_tpu.models.nested_cv import (
-            FAST_SCAN_AGREE_THRESHOLD,
-            FAST_SCAN_CALIB_VOXELS,
+            _calib_voxels,
+            _fast_scan_accept,
         )
 
         scores = _scan(Y_j, True, vox_mesh)
-        calib = np.unique(np.linspace(
-            0, V - 1, min(FAST_SCAN_CALIB_VOXELS, V), dtype=int
-        ))
+        calib = _calib_voxels(V)
         s_cal = _scan(jnp.asarray(Y_np[:, calib]), False, None)
-        pick_fast = np.asarray(
-            jnp.argmax(scores.reshape(-1, V), axis=0))[calib]
-        pick_cal = np.asarray(jnp.argmax(
-            s_cal.reshape(-1, calib.size), axis=0))
-        agree = float(np.mean(pick_fast == pick_cal))
-        if agree >= FAST_SCAN_AGREE_THRESHOLD:
-            logger.info(
-                "banded fast_scan='auto': bf16 scan ACCEPTED (calibration "
-                "(gamma, alpha) argmax agreement %.1f%% on %d voxels)",
-                agree * 100, calib.size,
-            )
-        else:
-            logger.info(
-                "banded fast_scan='auto': bf16 scan REJECTED (agreement "
-                "%.1f%% < %.0f%%); re-running the scan at fp32-HIGHEST",
-                agree * 100, FAST_SCAN_AGREE_THRESHOLD * 100,
-            )
+        if not _fast_scan_accept(scores, s_cal, calib, label=" (banded)"):
             scores = _scan(Y_j, False, vox_mesh)
     else:
         scores = _scan(Y_j, bool(fast_scan), vox_mesh)

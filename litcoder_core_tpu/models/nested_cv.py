@@ -825,46 +825,68 @@ FAST_SCAN_AGREE_THRESHOLD = 0.98
 FAST_SCAN_CALIB_VOXELS = 512
 
 
+def _calib_voxels(n_voxels: int) -> np.ndarray:
+    """Evenly spaced calibration voxel indices for the fast_scan guard."""
+    return np.unique(np.linspace(
+        0, n_voxels - 1, min(FAST_SCAN_CALIB_VOXELS, n_voxels), dtype=int
+    ))
+
+
+def _fast_scan_accept(scores_fast, calib_scores, calib: np.ndarray,
+                      label: str = "") -> bool:
+    """Shared fast_scan='auto' accept decision (ONE policy for the plain
+    search, the fused full-CV folds, and the banded (gamma, alpha) scan).
+
+    Compares the per-voxel argmax over ALL leading grid axes (flattened —
+    alpha grid, or gamma x alpha) of the bf16 scan restricted to the
+    calibration voxels against an fp32 scan of those voxels; logs and
+    returns the decision. The selections a bf16 pass could plausibly flip
+    are argmax ties between adjacent grid points, hence the agreement
+    threshold rather than exact equality."""
+    v = scores_fast.shape[-1]
+    pick_fast = np.asarray(
+        jnp.argmax(scores_fast.reshape(-1, v), axis=0))[calib]
+    pick_cal = np.asarray(
+        jnp.argmax(calib_scores.reshape(-1, calib.size), axis=0))
+    agree = float(np.mean(pick_fast == pick_cal))
+    if agree >= FAST_SCAN_AGREE_THRESHOLD:
+        logger.info(
+            "fast_scan='auto'%s: bf16 scan ACCEPTED (calibration argmax "
+            "agreement %.1f%% on %d voxels)", label, agree * 100,
+            calib.size,
+        )
+        return True
+    logger.info(
+        "fast_scan='auto'%s: bf16 scan REJECTED (agreement %.1f%% < "
+        "%.0f%%); re-running at fp32-HIGHEST", label, agree * 100,
+        FAST_SCAN_AGREE_THRESHOLD * 100,
+    )
+    return False
+
+
 def _find_best_alphas_guarded(X, Y, fold_splits, alphas, single_alpha,
                               normalpha, use_corr, singcutoff,
                               voxel_chunk_size, method) -> np.ndarray:
     """fast_scan='auto': bf16 scan with an fp32 calibration guard.
 
     The fast scan runs on ALL voxels; an fp32 scan runs on an evenly
-    spaced calibration subset (FAST_SCAN_CALIB_VOXELS). If the per-voxel
-    alpha argmax agrees on >= FAST_SCAN_AGREE_THRESHOLD of the calibration
-    voxels (the selections the bf16 pass could plausibly flip are argmax
-    ties between adjacent alphas), the fast result is accepted; otherwise
-    the full search re-runs at fp32-HIGHEST. Worst case costs the
-    calibration scan extra (~calib/V of an fp32 search); typical case is
-    the full fast_scan speedup with a quantified parity check."""
+    spaced calibration subset (FAST_SCAN_CALIB_VOXELS). Accept/reject is
+    _fast_scan_accept; on reject the full search re-runs at fp32-HIGHEST.
+    Worst case costs the calibration scan extra (~calib/V of an fp32
+    search); typical case is the full fast_scan speedup with a quantified
+    parity check."""
     mc_fast = _mean_fold_scores(
         X, Y, fold_splits, alphas, normalpha, use_corr, singcutoff,
         voxel_chunk_size, method, True,
     )
-    n_voxels = Y.shape[1]
-    calib = np.unique(np.linspace(
-        0, n_voxels - 1, min(FAST_SCAN_CALIB_VOXELS, n_voxels), dtype=int
-    ))
+    calib = _calib_voxels(Y.shape[1])
     Y_cal = jnp.asarray(Y, jnp.float32)[:, jnp.asarray(calib)]
     mc_cal = _mean_fold_scores(
         X, Y_cal, fold_splits, alphas, normalpha, use_corr, singcutoff,
         None, method, False,
     )
-    pick_fast = np.asarray(jnp.argmax(mc_fast, axis=0))[calib]
-    pick_cal = np.asarray(jnp.argmax(mc_cal, axis=0))
-    agree = float(np.mean(pick_fast == pick_cal))
-    if agree >= FAST_SCAN_AGREE_THRESHOLD:
-        logger.info(
-            "fast_scan='auto': bf16 scan ACCEPTED (calibration argmax "
-            "agreement %.1f%% on %d voxels)", agree * 100, calib.size,
-        )
+    if _fast_scan_accept(mc_fast, mc_cal, calib):
         return _select_best_alphas(mc_fast, alphas, single_alpha)
-    logger.info(
-        "fast_scan='auto': bf16 scan REJECTED (agreement %.1f%% < %.0f%%); "
-        "re-running the search at fp32-HIGHEST", agree * 100,
-        FAST_SCAN_AGREE_THRESHOLD * 100,
-    )
     mean_corrs = _mean_fold_scores(
         X, Y, fold_splits, alphas, normalpha, use_corr, singcutoff,
         voxel_chunk_size, method, False,
@@ -1448,34 +1470,17 @@ def fit_nested_cv(
             mean_corrs = inner_scores(targets_j, XtY_tr,
                                       bool(fast_scan))
             if fast_scan == "auto":
-                # Same calibration guard as _find_best_alphas_guarded,
-                # using the fold's downdated XtY restricted to the
-                # calibration columns (all ops are columnwise).
-                calib = np.unique(np.linspace(
-                    0, targets_j.shape[1] - 1,
-                    min(FAST_SCAN_CALIB_VOXELS, targets_j.shape[1]),
-                    dtype=int,
-                ))
+                # Shared calibration guard (_fast_scan_accept), using the
+                # fold's downdated XtY restricted to the calibration
+                # columns (all ops are columnwise).
+                calib = _calib_voxels(targets_j.shape[1])
                 cal_j = jnp.asarray(calib)
                 mc_cal = inner_scores(targets_j[:, cal_j],
                                       XtY_tr[:, cal_j], False)
-                agree = float(np.mean(
-                    np.asarray(jnp.argmax(mean_corrs, axis=0))[calib]
-                    == np.asarray(jnp.argmax(mc_cal, axis=0))
-                ))
-                if agree < FAST_SCAN_AGREE_THRESHOLD:
-                    logger.info(
-                        "fast_scan='auto' (fused full-CV fold %d): bf16 "
-                        "scan REJECTED (agreement %.1f%%); re-running at "
-                        "fp32", fold_idx + 1, agree * 100,
-                    )
+                if not _fast_scan_accept(
+                        mean_corrs, mc_cal, calib,
+                        label=f" (fused full-CV fold {fold_idx + 1})"):
                     mean_corrs = inner_scores(targets_j, XtY_tr, False)
-                else:
-                    logger.info(
-                        "fast_scan='auto' (fused full-CV fold %d): bf16 "
-                        "scan accepted (agreement %.1f%%)",
-                        fold_idx + 1, agree * 100,
-                    )
             best_valphas = _select_best_alphas(
                 mean_corrs, alphas, single_alpha
             )

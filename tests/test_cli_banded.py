@@ -238,7 +238,9 @@ def test_banded_fast_scan_matches_fp32():
     assert np.array_equal(a1, a0) and np.array_equal(g1, g0)
     assert np.allclose(w1, w0)
 
-    logger = logging.getLogger("litcoder_core_tpu.models.banded")
+    # The shared guard logs through the nested_cv module (ONE policy for
+    # plain/fused/banded scans).
+    logger = logging.getLogger("litcoder_core_tpu.models.nested_cv")
     records = []
 
     class Grab(logging.Handler):

@@ -65,7 +65,7 @@ def test_auto_full_cv_fused(caplog):
     with caplog.at_level(logging.INFO,
                          logger="litcoder_core_tpu.models.nested_cv"):
         m_auto, _, a_auto = ncv.fit_nested_cv(X, Y, fast_scan="auto", **kw)
-    assert any("fused full-CV fold" in r.message and "accepted" in r.message
+    assert any("fused full-CV fold" in r.message and "ACCEPTED" in r.message
                for r in caplog.records)
     assert np.allclose(a_auto, a_fp32)
     assert np.allclose(m_auto["correlations"], m_fp32["correlations"],
