@@ -72,12 +72,16 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
                   vox_mesh=None, fast_scan: bool = False):
     """(G, A, V) inner-CV scores for every gamma candidate.
 
-    Fast path (equal-shape folds, tall design): the per-fold block Grams and
-    cross-products are computed ONCE on the raw concatenated features; each
-    gamma candidate only rescales them — G_g = s s^T * G and
+    Fast path (tall design): the per-fold block Grams and cross-products
+    are computed ONCE on the raw concatenated features; each gamma
+    candidate only rescales them — G_g = s s^T * G and
     (X_g)^T Y = s * (X^T Y) — so the G x F Gram recomputations and the
-    G-fold duplication of the X^T Y matmuls collapse to scalings. Only the
-    eigensolve remains per (gamma, fold).
+    G-fold duplication of the X^T Y matmuls collapse to scalings. Folds
+    are grouped by (train, val) shape and vmapped per group: chunked
+    folding leaves a remainder fold with a slightly different size at
+    realistic T, and without the grouping that single fold used to drop
+    the WHOLE scan to the per-(gamma, fold) eigensolve fallback (~10x the
+    wall at north-star scale).
 
     With `vox_mesh`, Y_j arrives voxel-sharded; the features are replicated
     here and the whole (G, A, V) score program is columnwise in V, so the
@@ -91,12 +95,11 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
         from litcoder_core_tpu.parallel.mesh import replicate
 
         Xc = replicate(Xc, vox_mesh)
-    T, D = Xc.shape
+    D = Xc.shape[1]
     G_n = gammas.shape[0]
     alphas_j = jnp.asarray(alphas, jnp.float32)
 
-    shapes = {(len(tr), len(va)) for tr, va in inner_splits}
-    tall = T // max(len(inner_splits), 1) * (len(inner_splits) - 1) >= D
+    tall = (min((len(tr) for tr, _ in inner_splits), default=0) >= D)
     # Cholesky scan: kills the (gammas x folds) eigensolve grid — the
     # dominant wall-clock of the banded search on TPU (same gates as the
     # nested-CV chol search: PD for alpha > 0, kappa ~ 1/min(alpha)^2,
@@ -106,14 +109,14 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
     if (method in ("auto", "chol") and normalpha and singcutoff <= 1e-10
             and a_np.size and np.all(a_np >= 0.03)):
         scan = "chol"
-    if len(shapes) != 1 or method == "svd" or not tall:
+    if method == "svd" or not tall:
         if fast_scan:
             # The per-(gamma, fold) fallback has no bf16 scan variant;
             # surface the downgrade instead of silently honoring the flag.
             logger.warning(
                 "banded fast_scan requested but the direct per-(gamma, "
-                "fold) fallback engaged (unequal folds / method='svd' / "
-                "fat design); running the fp32 scan"
+                "fold) fallback engaged (method='svd' / fat design); "
+                "running the fp32 scan"
             )
         # Fallback: direct per-(gamma, fold) factorizations.
         all_scores = []
@@ -134,13 +137,28 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
             all_scores.append(corr_sum / len(inner_splits))
         return jnp.stack(all_scores)
 
-    tr_idx = jnp.asarray(np.stack([tr for tr, _ in inner_splits]))
-    va_idx = jnp.asarray(np.stack([va for _, va in inner_splits]))
     scales = jnp.stack([_scale_vector(Xs, g) for g in gammas])  # (G, D)
-    return _score_gammas_fast(
-        Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha, use_corr,
-        singcutoff, scan, fast_scan,
-    )
+    groups: Dict[Tuple[int, int], list] = {}
+    for tr, va in inner_splits:
+        groups.setdefault((len(tr), len(va)), []).append((tr, va))
+
+    def group_scores(folds):
+        tr_idx = jnp.asarray(np.stack([tr for tr, _ in folds]))
+        va_idx = jnp.asarray(np.stack([va for _, va in folds]))
+        return _score_gammas_fast(
+            Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha,
+            use_corr, singcutoff, scan, fast_scan,
+        )
+
+    if len(groups) == 1:
+        return group_scores(inner_splits)
+    # One dispatch per shape group; each returns its fold-group MEAN, so
+    # reweight by group size for the overall fold mean.
+    total = None
+    for folds in groups.values():
+        s = group_scores(folds) * jnp.float32(len(folds))
+        total = s if total is None else total + s
+    return total / jnp.float32(len(inner_splits))
 
 
 @partial(jax.jit,

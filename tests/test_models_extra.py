@@ -166,6 +166,43 @@ def test_banded_fast_path_matches_fallback():
     assert np.allclose(fast, slow, atol=3e-3)
 
 
+@pytest.mark.parametrize("method", ["auto", "eigh"])
+def test_banded_fast_path_unequal_folds_matches_fallback(method):
+    """Chunked folding leaves a remainder fold of a different size at
+    realistic T; the shape-grouped fast path (one vmapped dispatch per
+    fold-shape group) must match the per-(gamma, fold) fallback — before
+    the grouping, ONE odd fold silently dropped the whole scan to the
+    ~10x-slower fallback (observed at north-star scale)."""
+    from litcoder_core_tpu.models.banded import _score_gammas, sample_gammas
+    import jax.numpy as jnp
+    from litcoder_core_tpu.models.folding import create_folds
+
+    T = 250  # 25 chunks over 3 folds -> 9/8/8: two shape groups
+    X1 = rng.normal(size=(T, 6)).astype(np.float32)
+    X2 = rng.normal(size=(T, 5)).astype(np.float32)
+    Y = (X1 @ rng.normal(size=(6, 9)).astype(np.float32)
+         + rng.normal(size=(T, 9))).astype(np.float32)
+    gammas = sample_gammas(2, 4, seed=1)
+    folds = create_folds(T, "chunked", 3, 10, seed=0)
+    assert len({(len(tr), len(va)) for tr, va in folds}) > 1
+
+    fast = np.asarray(_score_gammas(
+        [X1, X2], jnp.asarray(Y), gammas, folds,
+        np.logspace(-1, 3, 5).astype(np.float32), True, True, 1e-10,
+        method,
+    ))
+    slow = np.asarray(_score_gammas(
+        [X1, X2], jnp.asarray(Y), gammas, folds,
+        np.logspace(-1, 3, 5).astype(np.float32), True, True, 1e-10,
+        "svd",
+    ))
+    assert fast.shape == slow.shape == (4, 5, 9)
+    assert np.allclose(fast, slow, atol=3e-3)
+    # The per-voxel joint (gamma, alpha) selection must be identical.
+    assert np.array_equal(np.argmax(fast.reshape(-1, 9), axis=0),
+                          np.argmax(slow.reshape(-1, 9), axis=0))
+
+
 def test_linear_model_default_single_fold():
     """n_folds=1 (the config default) must fit in-sample, not crash in
     GroupKFold (regression: sklearn rejects n_splits=1)."""
