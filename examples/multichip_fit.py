@@ -9,7 +9,16 @@ real TPU slice and on a virtual CPU mesh:
         python examples/multichip_fit.py
 """
 
+import os
+
 import numpy as np
+
+# The tunneled TPU plugin ignores the JAX_PLATFORMS env var; only the
+# config knob forces CPU (cf. examples/tp_extraction.py).
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 def main():
