@@ -160,13 +160,6 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         dataset_config["trimming"].update(custom_trimming)
         logger.info("Using custom trimming parameters: %s", custom_trimming)
 
-    if config.get("banded") and (
-            config.get("significance", "parametric") != "parametric"):
-        raise ValueError(
-            "--significance is not supported with --banded "
-            "(the banded (gamma, alpha) scan has its own solver; its "
-            "significance is the parametric tail)"
-        )
 
     if config.get("assembly_path"):
         assembly = load_assembly(config["assembly_path"])
@@ -261,6 +254,8 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
             use_corr=True,
             seed=config.get("seed", 0),
             fast_scan=config.get("fast_scan", False),
+            significance=config.get("significance", "parametric"),
+            n_permutations=config.get("n_permutations", 1000),
         )
     else:
         train_kwargs = dict(

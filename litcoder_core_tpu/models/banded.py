@@ -265,6 +265,8 @@ def fit_banded_ridge(
     mesh=None,
     n_devices: Optional[int] = None,
     fast_scan=False,
+    significance: str = "parametric",
+    n_permutations: int = 1000,
 ) -> Tuple[Dict, np.ndarray, np.ndarray, np.ndarray]:
     """Banded ridge with per-voxel (gamma, alpha) selection by inner CV.
 
@@ -285,6 +287,10 @@ def fit_banded_ridge(
             scan on a calibration voxel subset; falls back to fp32 on
             disagreement — same policy and thresholds as fit_nested_cv).
             The refit always runs fp32-HIGHEST.
+        significance / n_permutations: 'parametric' (float64 Pearson tail,
+            the reference's policy) or 'permutation' (on-device
+            circular-shift nulls, one-sided on r — same contract as
+            fit_nested_cv; p-values floor at 1/(n_permutations+1)).
 
     Returns:
         (metrics, weights (sum D_b, V), best_alphas (V,), best_gammas (V, B)).
@@ -298,6 +304,11 @@ def fit_banded_ridge(
         # unguarded bf16 scan.
         raise ValueError(
             f"fast_scan must be True, False or 'auto', got {fast_scan!r}"
+        )
+    if significance not in ("parametric", "permutation"):
+        raise ValueError(
+            f"significance must be 'parametric' or 'permutation', got "
+            f"{significance!r}"
         )
     if alphas is None:
         alphas = np.logspace(-1, 8, 10)
@@ -390,10 +401,21 @@ def fit_banded_ridge(
         y_pred = np.asarray(predict(X_test, weights))
         corr = np.asarray(pearson_r(jnp.asarray(y_test, jnp.float32),
                                     jnp.asarray(y_pred)))
-        # Decision-grade tails in float64 on host: the device float32
-        # betainc underflows to 0 near |r|=1 at real test lengths,
-        # saturating and reordering BH decisions (cf. nested_cv).
-        pval = pearson_pvalues_f64(corr, y_test.shape[0])
+        if significance == "permutation":
+            from litcoder_core_tpu.ops.stats import permutation_pvalues
+
+            # One key for all voxels: identical null shifts keep the BH
+            # input exchangeable (cf. nested_cv's chunked refit).
+            p_dev, _ = permutation_pvalues(
+                jnp.asarray(y_test, jnp.float32), jnp.asarray(y_pred),
+                jax.random.PRNGKey(seed), n_permutations=n_permutations,
+            )
+            pval = np.asarray(p_dev, np.float64)
+        else:
+            # Decision-grade tails in float64 on host: the device float32
+            # betainc underflows to 0 near |r|=1 at real test lengths,
+            # saturating and reordering BH decisions (cf. nested_cv).
+            pval = pearson_pvalues_f64(corr, y_test.shape[0])
         significant, corrected = bh_fdrcorrection_np(pval, alpha=alpha_fdr)
         n_sig = int(significant.sum())
         metrics.update({
@@ -410,6 +432,8 @@ def fit_banded_ridge(
             "percent_significant": float(n_sig / V * 100),
             "best_alphas": best_alphas.tolist(),
         })
+        if significance == "permutation":
+            metrics["significance_method"] = "permutation"
         logger.info("Banded ridge: median r = %.3f, %d/%d significant",
                     metrics["median_score"], n_sig, V)
     return metrics, weights, best_alphas, best_gammas

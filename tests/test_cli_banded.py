@@ -200,7 +200,10 @@ def test_round3_flags_parse():
     assert args2.n_permutations == 500
 
 
-def test_banded_rejects_significance(tmp_path):
+def test_banded_permutation_significance_end_to_end(tmp_path):
+    """--banded --significance permutation through the CLI run(): metrics
+    carry significance_method and the 1/(n+1)-floored permutation
+    p-values (replaces the round-2/3 refusal of this combination)."""
     assembly = SimpleNeuroidAssembly(
         [_make_story(f"s{i}") for i in range(3)], "outer"
     )
@@ -208,8 +211,11 @@ def test_banded_rejects_significance(tmp_path):
     save_assembly(assembly, asm_path)
     config = _banded_config(tmp_path, asm_path)
     config["significance"] = "permutation"
-    with pytest.raises(ValueError, match="not supported with --banded"):
-        run(config)
+    config["n_permutations"] = 100
+    metrics = run(config)
+    assert metrics["significance_method"] == "permutation"
+    assert min(metrics["p_values"]) >= 1.0 / 101 - 1e-9
+    assert "best_gammas" in metrics
 
 
 def test_banded_fast_scan_matches_fp32():

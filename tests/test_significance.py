@@ -90,3 +90,32 @@ def test_invalid_significance_raises():
     with pytest.raises(ValueError, match="significance"):
         fit_nested_cv(X, Y, X_test=X_test, y_test=Y_test,
                       significance="bootstrap", **KW)
+
+
+def test_permutation_banded():
+    """Banded ridge takes the same significance contract as the plain fit:
+    identical correlations, floored permutation p-values, the
+    significance_method key, and a ValueError on unknown values."""
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    X, Y, X_test, Y_test = _problem()
+    Xs, X_tests = [X[:, :5], X[:, 5:]], [X_test[:, :5], X_test[:, 5:]]
+    kw = dict(alphas=np.logspace(-1, 3, 5), n_gammas=3, chunk_length=10,
+              n_inner_folds=3, seed=0)
+    n_perm = 200
+    m_perm, _, _, _ = fit_banded_ridge(
+        Xs, Y, X_tests=X_tests, y_test=Y_test, significance="permutation",
+        n_permutations=n_perm, **kw)
+    m_par, _, _, _ = fit_banded_ridge(
+        Xs, Y, X_tests=X_tests, y_test=Y_test, **kw)
+
+    assert np.allclose(m_perm["correlations"], m_par["correlations"],
+                       atol=1e-5)
+    p = np.asarray(m_perm["p_values"])
+    floor = 1.0 / (n_perm + 1)
+    assert np.all(p >= floor - 1e-9) and np.all(p <= 1.0)
+    assert m_perm["significance_method"] == "permutation"
+    assert "significance_method" not in m_par
+    with pytest.raises(ValueError, match="significance"):
+        fit_banded_ridge(Xs, Y, X_tests=X_tests, y_test=Y_test,
+                         significance="bootstrap", **kw)
