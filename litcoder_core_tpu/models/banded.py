@@ -243,7 +243,14 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
 
         return jax.lax.map(one_gamma, scales)  # (G, A, V)
 
-    return jax.vmap(one_fold)(tr_idx, va_idx).mean(axis=0)  # (G, A, V)
+    # Sequential over folds: vmapping the fold axis batches every (D, V)
+    # cross-product and (Tva, V) prediction by the fold-group size — at
+    # north-star banded shapes that multiplication OOMs the 16 GB chip
+    # (observed 17.5 GB for a 4-fold group). Each fold's work is already
+    # MXU-saturating, so the sequential map costs no throughput.
+    scores = jax.lax.map(lambda tv: one_fold(tv[0], tv[1]),
+                         (tr_idx, va_idx))  # (F, G, A, V)
+    return scores.mean(axis=0)  # (G, A, V)
 
 
 def fit_banded_ridge(
