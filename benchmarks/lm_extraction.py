@@ -58,11 +58,11 @@ def main():
     )
     stimuli = build_fullcontext_stimuli(args.n_words)
 
-    def make(prefix_sharing, batch_size):
+    def make(prefix_sharing, batch_size, dtype="float32"):
         return LanguageModelFeatureExtractor({
             "model_name": "bench-gpt2", "model": model,
             "tokenizer": HashStubTokenizer(), "batch_size": batch_size,
-            "prefix_sharing": prefix_sharing,
+            "prefix_sharing": prefix_sharing, "dtype": dtype,
         })
 
     def timed(ex, tag):
@@ -70,14 +70,21 @@ def main():
         t0 = time.perf_counter()
         out = ex.extract_all_layers(stimuli)
         np.asarray(out[0]).sum()  # force
-        return time.perf_counter() - t0
+        return time.perf_counter() - t0, out
 
     # Reference style: one window per forward, no sharing.
-    t_loop = timed(make(False, 1), "per-text loop")
+    t_loop, _ = timed(make(False, 1), "per-text loop")
     # Batched, no prefix sharing.
-    t_batch = timed(make(False, 64), "batched")
+    t_batch, _ = timed(make(False, 64), "batched")
     # Batched + prefix chains (the default for causal models).
-    t_chain = timed(make(True, 64), "prefix chains")
+    t_chain, out32 = timed(make(True, 64), "prefix chains")
+    # bf16 forward compute (dtype='bfloat16'): the opt-in extraction fast
+    # path — 2x MXU throughput + half the weight/activation HBM traffic.
+    t_bf16, out16 = timed(make(True, 64, "bfloat16"), "bf16 chains")
+    last = max(out32)
+    a, b = np.asarray(out32[last]), np.asarray(out16[last])
+    bf16_rel_err = float(np.linalg.norm(a - b)
+                         / max(np.linalg.norm(a), 1e-6))
 
     import jax
 
@@ -93,6 +100,10 @@ def main():
         "batched_speedup": round(t_loop / t_batch, 1),
         "prefix_chain_speedup": round(t_loop / t_chain, 1),
         "windows_per_sec": round(n / t_chain, 1),
+        "bf16_sec": round(t_bf16, 2),
+        "bf16_windows_per_sec": round(n / t_bf16, 1),
+        "bf16_speedup_vs_fp32": round(t_chain / t_bf16, 2),
+        "bf16_final_layer_rel_err": round(bf16_rel_err, 4),
     }
     print(json.dumps(rec))
     if args.out:

@@ -135,6 +135,13 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
             self.backend = "flax" if backend == "auto" else backend
         self._configure_dims()
 
+        if self.compute_dtype == "bfloat16" and self.backend != "flax":
+            raise ValueError(
+                "dtype='bfloat16' requires the flax backend "
+                f"(got backend={self.backend!r})"
+            )
+        self._cast_params = None
+
         self.mesh = config.get("mesh")
         self._sharded_params = None
         if self.mesh is not None:
@@ -145,8 +152,10 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 )
             from litcoder_core_tpu.parallel.tp import shard_lm_params
 
-            self._sharded_params = shard_lm_params(self._model.params,
-                                                   self.mesh)
+            # Cast BEFORE sharding: bf16 halves the per-device param
+            # footprint and the replication traffic.
+            self._sharded_params = shard_lm_params(self._maybe_cast_tree(
+                self._model.params), self.mesh)
 
     # ------------------------------------------------------------------ setup
 
@@ -235,17 +244,21 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 train=False,
             )
             hs = jnp.stack(out.hidden_states)  # (L+1, B, T, D)
-            mask = attention_mask.astype(hs.dtype)  # (B, T)
             if last_token:
                 idx = jnp.maximum(
                     attention_mask.sum(axis=-1).astype(jnp.int32) - 1, 0
                 )  # (B,)
                 pooled = hs[:, jnp.arange(hs.shape[1]), idx, :]  # (L+1, B, D)
             else:
-                num = jnp.einsum("lbtd,bt->lbd", hs, mask)
+                # Accumulate the masked mean in float32: a bf16 reduction
+                # over hundreds of tokens loses ~2 mantissa bits per
+                # doubling (the gather above is accumulation-free).
+                mask = attention_mask.astype(jnp.float32)  # (B, T)
+                num = jnp.einsum("lbtd,bt->lbd", hs.astype(jnp.float32),
+                                 mask)
                 den = jnp.maximum(mask.sum(axis=-1), 1.0)[None, :, None]
                 pooled = num / den
-            return pooled
+            return pooled.astype(jnp.float32)
 
         self._forward_fn = forward
         return forward
@@ -284,10 +297,12 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
             if last_token:
                 pooled = hs[:, rows, positions, :]  # (L+1, B, K, D)
             else:
-                csum = jnp.cumsum(hs, axis=2)
-                denom = (positions + 1).astype(hs.dtype)  # (B, K)
+                # float32 cumsum: bf16 running sums drift over long
+                # prefixes (cf. the batched forward's masked mean).
+                csum = jnp.cumsum(hs.astype(jnp.float32), axis=2)
+                denom = (positions + 1).astype(jnp.float32)  # (B, K)
                 pooled = csum[:, rows, positions, :] / denom[None, :, :, None]
-            return pooled
+            return pooled.astype(jnp.float32)
 
         self._chain_forward_fn = forward
         return forward
@@ -315,10 +330,37 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 pooled = num / den
             return pooled.float().cpu().numpy()
 
+    def _maybe_cast_tree(self, params):
+        """Cast floating leaves to the configured compute dtype.
+
+        dtype='bfloat16' runs the transformer forward in bf16 on the MXU
+        (~2x matmul throughput + half the weight/activation HBM traffic);
+        pooled features are cast back to float32 on the way out. The fp32
+        default keeps the cross-backend parity contract
+        (tests/test_cross_backend_parity.py) — bf16 is the opt-in fast
+        path for large extraction sweeps, same spirit as the solver's
+        fast_scan.
+        """
+        if self.compute_dtype != "bfloat16":
+            return params
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params,
+        )
+
     def _params(self):
         """Forward params: the TP-sharded tree when a mesh is configured."""
-        return (self._sharded_params if self._sharded_params is not None
-                else self._model.params)
+        if self._sharded_params is not None:
+            return self._sharded_params
+        if self.compute_dtype == "bfloat16":
+            if self._cast_params is None:
+                self._cast_params = self._maybe_cast_tree(self._model.params)
+            return self._cast_params
+        return self._model.params
 
     def _prep_inputs(self, *arrays: np.ndarray):
         """Pad batch rows to the mesh's 'data' extent and shard them.
@@ -504,3 +546,9 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 raise ValueError(
                     f"context_type must be one of {_VALID_CONTEXT_TYPES}"
                 )
+        if self.config.get("dtype", "float32") not in ("float32",
+                                                       "bfloat16"):
+            raise ValueError(
+                "dtype must be 'float32' or 'bfloat16', got "
+                f"{self.config['dtype']!r}"
+            )

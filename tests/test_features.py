@@ -338,3 +338,79 @@ def test_embeddings_truncated_binary_raises(tmp_path):
         f.write(struct.pack("<4f", 1, 2, 3, 4))
     with pytest.raises(ValueError, match="truncated"):
         SimpleKeyedVectors.load_word2vec_format(str(path), binary=True)
+
+
+@pytest.mark.parametrize("last_token", [True, False])
+def test_lm_bf16_close_to_fp32(tiny_lm, last_token):
+    """dtype='bfloat16' runs the forward in bf16 but must stay close to the
+    fp32 features (opt-in fast path; fp32 stays the parity default)."""
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model, tokenizer = tiny_lm
+    common = {"model_name": "tiny", "model": model, "tokenizer": tokenizer,
+              "last_token": last_token, "batch_size": 4}
+    texts = ["hello world", "the cat sat on the mat",
+             "one more text here with a few extra tokens"]
+    f32 = LanguageModelFeatureExtractor(common).extract_all_layers(texts)
+    bf16 = LanguageModelFeatureExtractor(
+        {**common, "dtype": "bfloat16"}
+    ).extract_all_layers(texts)
+    for layer in f32:
+        a, b = f32[layer], bf16[layer]
+        assert b.dtype == np.float32
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert rel < 0.05, (layer, rel)
+
+
+def test_lm_bf16_prefix_sharing_close(tiny_lm):
+    """bf16 + prefix chains: the chain forward's pooled reads must also
+    track fp32 (fp32 cumsum guards the mean-pool path)."""
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model, tokenizer = tiny_lm
+    words = "the quick brown fox jumps over the lazy dog again".split()
+    texts = [" ".join(words[: i + 1]) for i in range(len(words))]
+    common = {"model_name": "tiny", "model": model, "tokenizer": tokenizer,
+              "last_token": False, "prefix_sharing": True, "batch_size": 4}
+    f32 = LanguageModelFeatureExtractor(common).extract_all_layers(texts)
+    bf16 = LanguageModelFeatureExtractor(
+        {**common, "dtype": "bfloat16"}
+    ).extract_all_layers(texts)
+    for layer in f32:
+        rel = (np.linalg.norm(f32[layer] - bf16[layer])
+               / max(np.linalg.norm(f32[layer]), 1e-6))
+        assert rel < 0.05, (layer, rel)
+
+
+def test_lm_dtype_validation(tiny_lm):
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    model, tokenizer = tiny_lm
+    with pytest.raises(ValueError, match="dtype"):
+        LanguageModelFeatureExtractor({
+            "model_name": "tiny", "model": model, "tokenizer": tokenizer,
+            "dtype": "float16",
+        })
+
+
+def test_lm_bf16_requires_flax():
+    from transformers import GPT2Config, GPT2Model
+
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+
+    cfg = GPT2Config(vocab_size=600, n_positions=64, n_embd=16, n_layer=2,
+                     n_head=2)
+    with pytest.raises(ValueError, match="bfloat16.*flax|flax.*bfloat16"):
+        LanguageModelFeatureExtractor({
+            "model_name": "tiny", "model": GPT2Model(cfg),
+            "tokenizer": StubTokenizer(), "backend": "torch",
+            "dtype": "bfloat16",
+        })
