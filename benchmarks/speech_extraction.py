@@ -53,12 +53,12 @@ def main():
     tmp = tempfile.NamedTemporaryFile(suffix=".wav", delete=False)
     wavfile.write(tmp.name, sr, wav)
 
-    def make(batch_size):
+    def make(batch_size, dtype="float32"):
         return SpeechFeatureExtractor(
             model_name="bench-w2v2", chunk_size=args.chunk_size,
             context_size=args.context_size, pool="last",
             target_sample_rate=sr, batch_size=batch_size, model=model,
-            feature_extractor=fe, disable_tqdm=True,
+            feature_extractor=fe, disable_tqdm=True, dtype=dtype,
         )
 
     def timed(ex):
@@ -73,6 +73,8 @@ def main():
 
     t_loop, n = timed(make(1))     # reference style: one window per forward
     t_batch, _ = timed(make(args.batch_size))
+    # bf16 encoder compute: the opt-in extraction fast path.
+    t_bf16, _ = timed(make(args.batch_size, "bfloat16"))
 
     rec = {
         "metric": "speech_extraction_windows_per_sec",
@@ -84,6 +86,9 @@ def main():
         "batched_sec": round(t_batch, 2),
         "batched_speedup": round(t_loop / t_batch, 1),
         "windows_per_sec": round(n / t_batch, 1),
+        "bf16_sec": round(t_bf16, 2),
+        "bf16_windows_per_sec": round(n / t_bf16, 1),
+        "bf16_speedup_vs_fp32": round(t_batch / t_bf16, 2),
     }
     print(json.dumps(rec))
     os.unlink(tmp.name)

@@ -141,6 +141,17 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 f"(got backend={self.backend!r})"
             )
         self._cast_params = None
+        # bf16 needs a module whose linen dtype is bf16: HF flax layers
+        # pass dtype=self.dtype to Dense/LayerNorm, and a float32 module
+        # would promote bf16 params right back to f32 compute. The sibling
+        # shares self._model.params (passed explicitly per forward).
+        self._compute_model = self._model
+        if self.compute_dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            self._compute_model = type(self._model)(
+                self._model.config, dtype=jnp.bfloat16, _do_init=False
+            )
 
         self.mesh = config.get("mesh")
         self._sharded_params = None
@@ -231,7 +242,7 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         import jax
         import jax.numpy as jnp
 
-        model = self._model
+        model = self._compute_model
         last_token = self.last_token
 
         @jax.jit
@@ -280,7 +291,7 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         import jax
         import jax.numpy as jnp
 
-        model = self._model
+        model = self._compute_model
         last_token = self.last_token
 
         @jax.jit

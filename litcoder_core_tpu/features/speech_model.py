@@ -90,10 +90,15 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         model=None,
         feature_extractor=None,
         mesh=None,
+        dtype: str = "float32",
         **_unused,
     ):
         if pool not in {"last", "mean"}:
             raise ValueError("pool must be 'last' or 'mean'")
+        if dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"dtype must be 'float32' or 'bfloat16', got {dtype!r}"
+            )
         # BaseFeatureExtractor bookkeeping (config kept for parity/debug).
         self.config = {
             "model_name": model_name, "chunk_size": chunk_size,
@@ -108,6 +113,8 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         self.disable_tqdm = disable_tqdm
         self.backend = backend
         self.batch_size = int(batch_size)
+        self.compute_dtype = dtype
+        self._cast_params = None
         self._forward_fn = None
 
         self._model = model
@@ -126,6 +133,22 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         # 2-D ('data', 'model') mesh: Megatron-style TP placement of the
         # encoder params + window batches sharded over 'data'
         # (parallel/tp.py; same contract as the LM extractor).
+        if self.compute_dtype == "bfloat16" and self.backend != "flax":
+            raise ValueError(
+                "dtype='bfloat16' requires the flax backend "
+                f"(got backend={self.backend!r})"
+            )
+        # bf16 needs a module whose linen dtype is bf16 (cf. the LM
+        # extractor): HF flax layers promote params to the MODULE dtype,
+        # so bf16 params under a float32 module would compute in f32.
+        self._compute_model = self._model
+        if self.compute_dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            self._compute_model = type(self._model)(
+                self._model.config, dtype=jnp.bfloat16, _do_init=False
+            )
+
         self.mesh = mesh
         self._sharded_params = None
         if self.mesh is not None:
@@ -136,8 +159,9 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
                 )
             from litcoder_core_tpu.parallel.tp import shard_lm_params
 
-            self._sharded_params = shard_lm_params(self._model.params,
-                                                   self.mesh)
+            # Cast BEFORE sharding: bf16 halves the per-device footprint.
+            self._sharded_params = shard_lm_params(
+                self._maybe_cast_tree(self._model.params), self.mesh)
 
     # ------------------------------------------------------------------ setup
 
@@ -172,6 +196,30 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
             f"Could not load {self.model_name} on backend {self.backend}: "
             f"{last_err}"
         )
+
+    def _maybe_cast_tree(self, params):
+        """Cast floating leaves to bf16 when dtype='bfloat16' (the opt-in
+        encoder fast path; pooled outputs come back float32)."""
+        if self.compute_dtype != "bfloat16":
+            return params
+        import jax
+        import jax.numpy as jnp
+
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+            params,
+        )
+
+    def _params(self):
+        """Forward params: TP-sharded and/or dtype-cast as configured."""
+        if self._sharded_params is not None:
+            return self._sharded_params
+        if self.compute_dtype == "bfloat16":
+            if self._cast_params is None:
+                self._cast_params = self._maybe_cast_tree(self._model.params)
+            return self._cast_params
+        return self._model.params
 
     # ------------------------------------------------------------- windowing
 
@@ -219,7 +267,7 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         import jax
         import jax.numpy as jnp
 
-        model = self._model
+        model = self._compute_model
         pool = self.pool
         is_whisper = self.model_type == "whisper"
         key = self._forward_key
@@ -236,8 +284,11 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
                             output_hidden_states=True, train=False)
             hs = jnp.stack(out.hidden_states)  # (L+1, B, T, D)
             if pool == "last":
-                return hs[:, :, -1, :]
-            return hs.mean(axis=2)
+                # Accumulation-free gather: exact in either compute dtype.
+                return hs[:, :, -1, :].astype(jnp.float32)
+            # Mean over encoder time in float32: a bf16 reduction over
+            # hundreds of frames drifts (cf. the LM extractor's pooling).
+            return hs.astype(jnp.float32).mean(axis=2)
 
         self._forward_fn = forward
         return forward
@@ -266,12 +317,11 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
         for lo in range(0, windows.shape[0], self.batch_size):
             batch = self._prepare_batch(windows[lo:lo + self.batch_size])
             if self.backend == "flax":
-                params = self._model.params
+                params = self._params()
                 n_pad = 0
                 if self.mesh is not None:
                     from litcoder_core_tpu.parallel.tp import pad_and_shard
 
-                    params = self._sharded_params
                     (batch,), n_pad = pad_and_shard((batch,), self.mesh)
                 pooled = np.asarray(
                     self._flax_forward_fn()(params, batch), np.float32,

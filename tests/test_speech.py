@@ -166,3 +166,23 @@ def test_windows_are_strided_views():
     np.testing.assert_array_equal(windows[0], wav[:200])
     np.testing.assert_array_equal(windows[1], wav[50:250])
     np.testing.assert_allclose(times[0], 2.0)
+
+
+@pytest.mark.parametrize("pool", ["last", "mean"])
+def test_speech_bf16_close_to_fp32(tiny_speech_model, wav_file, pool):
+    """dtype='bfloat16' encoder forwards must track the fp32 features."""
+    f32, t32 = _extractor(tiny_speech_model, pool=pool).extract_all_layers(
+        wav_file)
+    b16, t16 = _extractor(tiny_speech_model, pool=pool,
+                          dtype="bfloat16").extract_all_layers(wav_file)
+    assert np.array_equal(t32, t16)
+    for layer in f32:
+        a, b = f32[layer], b16[layer]
+        assert b.dtype == np.float32
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(a), 1e-6)
+        assert rel < 0.06, (layer, rel)
+
+
+def test_speech_dtype_validation(tiny_speech_model):
+    with pytest.raises(ValueError, match="dtype"):
+        _extractor(tiny_speech_model, dtype="float16")
