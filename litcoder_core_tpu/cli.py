@@ -90,6 +90,7 @@ def build_feature_config(modality: str, model_name: str,
             "layer_idx": config["layer_idx"],
             "last_token": config["last_token"],
             "lookback": config["lookback"],
+            "dtype": config.get("feature_dtype", "float32"),
         }
         # Mesh built lazily HERE (not for wordrate/embeddings, which never
         # use it — --tp_* must not fail or silently no-op for those).
@@ -103,6 +104,7 @@ def build_feature_config(modality: str, model_name: str,
             "layer": config["layer_idx"],
             "pool": "last",
             "target_sample_rate": 16000,
+            "dtype": config.get("feature_dtype", "float32"),
         }
         mesh = _build_mesh(config)
         if mesh is not None:
@@ -351,6 +353,12 @@ def parse_args(argv=None):
     parser.add_argument("--ndelays", type=int, required=True)
     parser.add_argument("--lookback", type=int, required=True)
     # System
+    parser.add_argument("--feature_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="LM/speech forward compute dtype: bfloat16 "
+                             "halves weight/activation HBM traffic and "
+                             "doubles MXU throughput (opt-in; features "
+                             "return float32 either way)")
     parser.add_argument("--tp_data", type=int, default=1,
                         help="data-parallel extraction mesh axis (batches "
                              "shard across tp_data devices)")

@@ -98,7 +98,7 @@ class FeatureExtractorFactory:
         """LM path: all-layer cache-on-miss, serve the requested layer
         (reference: factory.py:135-189)."""
         texts = assembly.get_stimuli()[idx]
-        cache_key = extractor.activation_cache._get_cache_key(
+        key_params = dict(
             story=story,
             lookback=lookback,
             model_name=extractor.model_name,
@@ -107,6 +107,13 @@ class FeatureExtractorFactory:
             dataset_type=dataset_type,
             raw=True,
         )
+        # Non-default compute dtypes key separately (bf16 features must not
+        # collide with fp32 ones); the default is OMITTED so existing fp32
+        # caches keep their keys.
+        dtype = getattr(extractor, "compute_dtype", "float32")
+        if dtype != "float32":
+            key_params["dtype"] = dtype
+        cache_key = extractor.activation_cache._get_cache_key(**key_params)
         lazy_cache = extractor.activation_cache.load_multi_layer_activations(
             cache_key
         )
@@ -138,6 +145,11 @@ class FeatureExtractorFactory:
         """Speech path with times + param validation
         (reference: factory.py:191-262)."""
         wav_path = assembly.get_audio_path()[idx]
+        extra = {"layer_mode": "all"}
+        # Non-default compute dtypes key separately (cf. the LM path).
+        dtype = getattr(extractor, "compute_dtype", "float32")
+        if dtype != "float32":
+            extra["dtype"] = dtype
         cache_key = extractor.speech_cache.get_cache_key(
             audio_id=wav_path,
             model_name=extractor.model_name,
@@ -146,7 +158,7 @@ class FeatureExtractorFactory:
             pool=extractor.pool,
             target_sample_rate=extractor.target_sample_rate,
             dataset_type=dataset_type,
-            extra={"layer_mode": "all"},
+            extra=extra,
         )
         lazy = extractor.speech_cache.load_multi_layer_activations(cache_key)
         if lazy is not None:

@@ -128,7 +128,10 @@ class ActivationCache:
 
     def _get_cache_key(self, story: str, lookback: int, model_name: str,
                        context_type: str, last_token: bool,
-                       dataset_type: str, raw: bool) -> str:
+                       dataset_type: str, raw: bool, **extra) -> str:
+        """md5(json(params)) key (reference utils.py:193-227). `extra`
+        admits non-default knobs (e.g. dtype='bfloat16') WITHOUT changing
+        the keys of existing default-config caches."""
         params = {
             "story": story,
             "lookback": lookback,
@@ -137,6 +140,7 @@ class ActivationCache:
             "last_token": last_token,
             "dataset_type": dataset_type,
             "raw": raw,
+            **extra,
         }
         return hashlib.md5(
             json.dumps(params, sort_keys=True).encode()

@@ -414,3 +414,32 @@ def test_lm_bf16_requires_flax():
             "tokenizer": StubTokenizer(), "backend": "torch",
             "dtype": "bfloat16",
         })
+
+
+def test_factory_lm_cache_keys_by_dtype(tiny_lm, tmp_path):
+    """bf16 LM features must not collide with fp32 ones in the cache."""
+    from litcoder_core_tpu.features.factory import FeatureExtractorFactory
+    from litcoder_core_tpu.features.language_model import (
+        LanguageModelFeatureExtractor,
+    )
+    from litcoder_core_tpu.utils.caches import ActivationCache
+
+    model, tokenizer = tiny_lm
+
+    class FakeAssembly:
+        def get_stimuli(self):
+            return [["hello world", "the cat sat"]]
+
+    def run(dtype):
+        ex = LanguageModelFeatureExtractor({
+            "model_name": "tiny", "model": model, "tokenizer": tokenizer,
+            "dtype": dtype,
+        })
+        ex.activation_cache = ActivationCache(cache_dir=str(tmp_path))
+        return FeatureExtractorFactory._extract_language_model_features(
+            ex, FakeAssembly(), "story", 0, 0, 16, "lebel")
+
+    run("float32")
+    n_after_f32 = len(list(tmp_path.iterdir()))
+    run("bfloat16")
+    assert len(list(tmp_path.iterdir())) == 2 * n_after_f32

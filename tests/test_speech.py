@@ -186,3 +186,24 @@ def test_speech_bf16_close_to_fp32(tiny_speech_model, wav_file, pool):
 def test_speech_dtype_validation(tiny_speech_model):
     with pytest.raises(ValueError, match="dtype"):
         _extractor(tiny_speech_model, dtype="float16")
+
+
+def test_factory_speech_cache_keys_by_dtype(tiny_speech_model, wav_file,
+                                            tmp_path):
+    """bf16 features must not collide with fp32 ones in the cache."""
+    from litcoder_core_tpu.features.factory import FeatureExtractorFactory
+    from litcoder_core_tpu.utils.caches import SpeechActivationCache
+
+    class FakeAssembly:
+        def get_audio_path(self):
+            return [wav_file]
+
+    ex32 = _extractor(tiny_speech_model)
+    ex32.speech_cache = SpeechActivationCache(cache_dir=str(tmp_path))
+    FeatureExtractorFactory._extract_speech_features(
+        ex32, FakeAssembly(), "story", 0, 1, "lebel")
+    ex16 = _extractor(tiny_speech_model, dtype="bfloat16")
+    ex16.speech_cache = SpeechActivationCache(cache_dir=str(tmp_path))
+    FeatureExtractorFactory._extract_speech_features(
+        ex16, FakeAssembly(), "story", 0, 1, "lebel")
+    assert len(list(tmp_path.glob("*.npz"))) == 2  # distinct cache entries
