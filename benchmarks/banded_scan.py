@@ -85,6 +85,9 @@ def main():
             "cold_s": round(cold, 2), "warm_s": round(warm, 2),
             "median_r": round(float(metrics["median_score"]), 4),
             "within_2min_envelope": warm < 120.0,
+            "stages_warm": {k: round(v, 2)
+                            for k, v in metrics.get("stage_seconds",
+                                                    {}).items()},
         }
         results.append(rec)
         print(json.dumps(rec), flush=True)

@@ -200,10 +200,17 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
             zP = zscore(Yva, axis=0)
             Pvar = jnp.var(Yva, axis=0, ddof=1)
             eye = jnp.eye(G_tr.shape[0], dtype=jnp.float32)
+            # The triangular solves are the scan's voxel-independent cost;
+            # pred = Xva_s (Gg+a^2)^-1 (s XtY) associates either way, so
+            # solve against the SMALLER right-hand side: Xva^T (D, Tva) at
+            # full voxel counts, but s XtY (D, V) when V << Tva — e.g. the
+            # fast_scan='auto' fp32 calibration subset (512 voxels), which
+            # otherwise pays the entire solve cost of a full scan.
+            voxel_side = Y.shape[1] < Xva.shape[0]
 
             def one_gamma(s):
                 Gg = G_tr * (s[:, None] * s[None, :])
-                Xva_s_T = (Xva * s[None, :]).T          # (D, Tva)
+                Xva_s = Xva * s[None, :]                # (Tva, D)
                 sXtY = s[:, None] * XtY                 # (D, V)
                 if normalpha:
                     s0 = jnp.sqrt(jnp.maximum(lmax_dense(Gg), 0.0))
@@ -213,11 +220,15 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
 
                 def one_alpha(na):
                     L = jnp.linalg.cholesky(Gg + (na * na) * eye)
+                    rhs = sXtY if voxel_side else Xva_s.T
                     Z = jax.scipy.linalg.solve_triangular(
-                        L, Xva_s_T, lower=True)
+                        L, rhs, lower=True)
                     Z = jax.scipy.linalg.solve_triangular(
-                        L.T, Z, lower=False)            # (D, Tva)
-                    pred = jnp.dot(Z.T, sXtY, precision=sp)
+                        L.T, Z, lower=False)            # (D, V) | (D, Tva)
+                    if voxel_side:
+                        pred = jnp.dot(Xva_s, Z, precision=sp)
+                    else:
+                        pred = jnp.dot(Z.T, sXtY, precision=sp)
                     return _score_predictions(pred, Yva, zP, Pvar,
                                               use_corr)
 
@@ -347,12 +358,18 @@ def fit_banded_ridge(
     # scores has shape (G, A, V): mean fold correlation per gamma candidate.
     # Strip any sharding pad BEFORE the argmax: padded all-zero response
     # columns must not participate in any decision.
+    from litcoder_core_tpu.utils.profiling import StageTimer
+
+    # Stage boundaries end in host materialization (block_until_ready /
+    # np.asarray), so no extra sync barrier is needed.
+    timer = StageTimer()
+
     def _scan(Y_in, fast: bool, mesh_in):
         s = _score_gammas(
             Xs, Y_in, gammas, inner_splits, np.asarray(alphas), normalpha,
             use_corr, singcutoff, method, vox_mesh=mesh_in, fast_scan=fast,
         )
-        return s[..., :V] if Y_in is Y_j else s
+        return jax.block_until_ready(s[..., :V] if Y_in is Y_j else s)
 
     if fast_scan == "auto":
         from litcoder_core_tpu.models.nested_cv import (
@@ -360,13 +377,17 @@ def fit_banded_ridge(
             _fast_scan_accept,
         )
 
-        scores = _scan(Y_j, True, vox_mesh)
+        with timer.stage("scan_bf16"):
+            scores = _scan(Y_j, True, vox_mesh)
         calib = _calib_voxels(V)
-        s_cal = _scan(jnp.asarray(Y_np[:, calib]), False, None)
+        with timer.stage("scan_calibration_fp32"):
+            s_cal = _scan(jnp.asarray(Y_np[:, calib]), False, None)
         if not _fast_scan_accept(scores, s_cal, calib, label=" (banded)"):
-            scores = _scan(Y_j, False, vox_mesh)
+            with timer.stage("scan_fp32_fallback"):
+                scores = _scan(Y_j, False, vox_mesh)
     else:
-        scores = _scan(Y_j, bool(fast_scan), vox_mesh)
+        with timer.stage("scan"):
+            scores = _scan(Y_j, bool(fast_scan), vox_mesh)
 
     # Joint argmax over (gamma, alpha) per voxel.
     flat = scores.reshape(-1, V)  # (G*A, V)
@@ -379,6 +400,8 @@ def fit_banded_ridge(
     # --- refit grouped by winning gamma candidate --------------------------
     D_total = sum(X.shape[1] for X in Xs)
     weights = np.zeros((D_total, V), np.float32)
+    refit_stage = timer.stage("refit")
+    refit_stage.__enter__()
     for g_idx in np.unique(best_g):
         sel = np.nonzero(best_g == g_idx)[0]
         Xg = _scale_bands(Xs, gammas[g_idx])
@@ -399,9 +422,12 @@ def fit_banded_ridge(
             for b, X in enumerate(Xs)
         ])
         weights[:, sel] = wt * scale[:, None]
+    refit_stage.__exit__(None, None, None)
 
     metrics: Dict = {"best_gammas": best_gammas.tolist()}
     if X_tests is not None and y_test is not None:
+        test_stage = timer.stage("test_scoring")
+        test_stage.__enter__()
         X_test = np.concatenate(
             [np.asarray(X, np.float32) for X in X_tests], axis=1
         )
@@ -441,8 +467,10 @@ def fit_banded_ridge(
         })
         if significance == "permutation":
             metrics["significance_method"] = "permutation"
+        test_stage.__exit__(None, None, None)
         logger.info("Banded ridge: median r = %.3f, %d/%d significant",
                     metrics["median_score"], n_sig, V)
+    metrics["stage_seconds"] = timer.report()
     return metrics, weights, best_alphas, best_gammas
 
 
