@@ -11,6 +11,7 @@ Writes benchmarks/banded_scan_tpu.json (the PARITY.md / docs artifact).
 
 import argparse
 import json
+import logging
 import os
 import time
 
@@ -18,6 +19,7 @@ import numpy as np
 
 
 def main():
+    logging.basicConfig(level=logging.INFO)  # solver path + stage reports
     parser = argparse.ArgumentParser()
     parser.add_argument("--whole_brain", action="store_true",
                         help="V=95556 instead of fsaverage5 20484")
