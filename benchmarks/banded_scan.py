@@ -29,7 +29,12 @@ def main():
     parser.add_argument("--fast_scan", nargs="?", const=True, default=False,
                         help="bf16 scan matmuls (bare flag or 'auto' for "
                              "the guarded calibration mode)")
+    parser.add_argument("--voxel_chunk", type=int, default=None,
+                        help="stream the scan's voxel work through chunks "
+                             "(whole-brain default: 8192)")
     args = parser.parse_args()
+    if args.whole_brain and args.voxel_chunk is None:
+        args.voxel_chunk = 8192
     fast_scan = (args.fast_scan if args.fast_scan in (False, True)
                  else str(args.fast_scan))
 
@@ -69,20 +74,21 @@ def main():
         metrics, _, _, _ = fit_banded_ridge(
             Xs, Y, X_tests=X_tests, y_test=y_test, alphas=alphas,
             n_gammas=n_gammas, n_inner_folds=F, chunk_length=CHUNK, seed=0,
-            fast_scan=fast_scan,
+            fast_scan=fast_scan, voxel_chunk_size=args.voxel_chunk,
         )
         cold = time.perf_counter() - t0
         t0 = time.perf_counter()
         metrics, _, _, _ = fit_banded_ridge(
             Xs, Y, X_tests=X_tests, y_test=y_test, alphas=alphas,
             n_gammas=n_gammas, n_inner_folds=F, chunk_length=CHUNK, seed=0,
-            fast_scan=fast_scan,
+            fast_scan=fast_scan, voxel_chunk_size=args.voxel_chunk,
         )
         warm = time.perf_counter() - t0
         rec = {
             "metric": "banded_ridge_fit_wall_seconds",
             "n_gammas": n_gammas, "bands": BAND_DIMS, "T": T, "V": V,
             "alphas": A, "inner_folds": F, "fast_scan": str(fast_scan),
+            "voxel_chunk": args.voxel_chunk,
             "platform": jax.devices()[0].platform,
             "cold_s": round(cold, 2), "warm_s": round(warm, 2),
             "median_r": round(float(metrics["median_score"]), 4),

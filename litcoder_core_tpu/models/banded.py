@@ -69,7 +69,8 @@ def _scale_vector(Xs: Sequence, gamma) -> jnp.ndarray:
 
 def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
                   use_corr: bool, singcutoff: float, method: str,
-                  vox_mesh=None, fast_scan: bool = False):
+                  vox_mesh=None, fast_scan: bool = False,
+                  voxel_chunk=None):
     """(G, A, V) inner-CV scores for every gamma candidate.
 
     Fast path (tall design): the per-fold block Grams and cross-products
@@ -163,14 +164,42 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
         G_all = jnp.dot(Xc.T, Xc, precision=H)
         XtY_all = jnp.dot(Xc.T, Y_j, precision=sp)
 
+    # Voxel chunking (chol scan only): stream the voxel-dependent part of
+    # the scan — predictions + scoring — through fixed-size chunks so
+    # whole-brain V fits next to the 10 GB response matrix. The tail runs
+    # as its OWN dispatch: a big array that is both a loop operand and
+    # read post-loop in one program gets a full XLA copy
+    # (docs/performance.rst "Memory at whole-brain scale").
+    V_in = Y_j.shape[1]
+    chunk = n_chunks = 0
+    if voxel_chunk and vox_mesh is None and V_in > int(voxel_chunk):
+        if scan == "chol":
+            chunk = int(voxel_chunk)
+            n_chunks = V_in // chunk
+        else:
+            logger.warning(
+                "voxel_chunk_size requires the Cholesky scan (normalpha, "
+                "alpha >= 0.03, singcutoff <= 1e-10); running unchunked"
+            )
+
     def group_scores(folds):
         tr_idx = jnp.asarray(np.stack([tr for tr, _ in folds]))
         va_idx = jnp.asarray(np.stack([va for _, va in folds]))
-        return _score_gammas_fast(
-            Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha,
-            use_corr, singcutoff, scan, fast_scan, complement,
-            G_all, XtY_all,
-        )
+
+        def call(c, n_c, off):
+            return _score_gammas_fast(
+                Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha,
+                use_corr, singcutoff, scan, fast_scan, complement,
+                G_all, XtY_all, chunk=c, n_chunks=n_c, offset=off,
+            )
+
+        if not chunk:
+            return call(0, 0, 0)
+        parts = [call(chunk, n_chunks, 0)]
+        tail = V_in - n_chunks * chunk
+        if tail:
+            parts.append(call(tail, 1, n_chunks * chunk))
+        return jnp.concatenate(parts, axis=-1)
 
     if len(groups) == 1:
         return group_scores(inner_splits)
@@ -185,11 +214,13 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
 
 @partial(jax.jit,
          static_argnames=("normalpha", "use_corr", "singcutoff", "scan",
-                          "fast_scan", "complement"))
+                          "fast_scan", "complement", "chunk", "n_chunks",
+                          "offset"))
 def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
                        normalpha: bool, use_corr: bool, singcutoff: float,
                        scan: str = "eigh", fast_scan: bool = False,
-                       complement: bool = False, G_all=None, XtY_all=None):
+                       complement: bool = False, G_all=None, XtY_all=None,
+                       chunk: int = 0, n_chunks: int = 0, offset: int = 0):
     """(G, A, V) scores with shared per-fold Grams/cross-products.
 
     scan='chol' solves each (gamma, alpha) system by Cholesky instead of
@@ -225,8 +256,6 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
             XtY = jnp.dot(Xtr.T, Y[tr], precision=sp)  # (D, V), gamma-free
 
         if scan == "chol":
-            zP = zscore(Yva, axis=0)
-            Pvar = jnp.var(Yva, axis=0, ddof=1)
             eye = jnp.eye(G_tr.shape[0], dtype=jnp.float32)
             # The triangular solves are the scan's voxel-independent cost;
             # pred = Xva_s (Gg+a^2)^-1 (s XtY) associates either way, so
@@ -234,12 +263,16 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
             # full voxel counts, but s XtY (D, V) when V << Tva — e.g. the
             # fast_scan='auto' fp32 calibration subset (512 voxels), which
             # otherwise pays the entire solve cost of a full scan.
-            voxel_side = Y.shape[1] < Xva.shape[0]
+            voxel_side = Y.shape[1] < Xva.shape[0] and chunk == 0
+            if chunk == 0:
+                zP = zscore(Yva, axis=0)
+                Pvar = jnp.var(Yva, axis=0, ddof=1)
 
             def one_gamma(s):
                 Gg = G_tr * (s[:, None] * s[None, :])
                 Xva_s = Xva * s[None, :]                # (Tva, D)
-                sXtY = s[:, None] * XtY                 # (D, V)
+                if chunk == 0:
+                    sXtY = s[:, None] * XtY             # (D, V)
                 if normalpha:
                     s0 = jnp.sqrt(jnp.maximum(lmax_dense(Gg), 0.0))
                     nal = alphas * s0
@@ -255,12 +288,32 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
                         L.T, Z, lower=False)            # (D, V) | (D, Tva)
                     if voxel_side:
                         pred = jnp.dot(Xva_s, Z, precision=sp)
-                    else:
+                        return _score_predictions(pred, Yva, zP, Pvar,
+                                                  use_corr)
+                    if chunk == 0:
                         pred = jnp.dot(Z.T, sXtY, precision=sp)
-                    return _score_predictions(pred, Yva, zP, Pvar,
-                                              use_corr)
+                        return _score_predictions(pred, Yva, zP, Pvar,
+                                                  use_corr)
 
-                return jax.lax.map(one_alpha, nal)      # (A, V)
+                    # Chunked scoring: Z is voxel-independent, so only
+                    # the per-chunk cross-product slice, predictions and
+                    # scoring stream; chunk-local z-scores/variances are
+                    # computed in place (no (Tva, V) zP buffer).
+                    def score_chunk(c0):
+                        XtYc = jax.lax.dynamic_slice_in_dim(
+                            XtY, c0, chunk, axis=1)
+                        Yc = jax.lax.dynamic_slice_in_dim(
+                            Yva, c0, chunk, axis=1)
+                        pred = jnp.dot(Z.T, s[:, None] * XtYc,
+                                       precision=sp)
+                        return _score_predictions(
+                            pred, Yc, zscore(Yc, axis=0),
+                            jnp.var(Yc, axis=0, ddof=1), use_corr)
+
+                    starts = offset + jnp.arange(n_chunks) * chunk
+                    return jax.lax.map(score_chunk, starts).reshape(-1)
+
+                return jax.lax.map(one_alpha, nal)      # (A, V | n_c*c)
         else:
             def one_gamma(s):
                 Gg = G_tr * (s[:, None] * s[None, :])
@@ -313,6 +366,7 @@ def fit_banded_ridge(
     fast_scan=False,
     significance: str = "parametric",
     n_permutations: int = 1000,
+    voxel_chunk_size: Optional[int] = None,
 ) -> Tuple[Dict, np.ndarray, np.ndarray, np.ndarray]:
     """Banded ridge with per-voxel (gamma, alpha) selection by inner CV.
 
@@ -337,6 +391,11 @@ def fit_banded_ridge(
             the reference's policy) or 'permutation' (on-device
             circular-shift nulls, one-sided on r — same contract as
             fit_nested_cv; p-values floor at 1/(n_permutations+1)).
+        voxel_chunk_size: stream the scan's voxel-dependent work
+            (predictions + scoring) through fixed-size voxel chunks —
+            required for single-chip whole-brain V next to the ~10 GB
+            response matrix (same knob as fit_nested_cv; chol scan only,
+            ignored with a warning otherwise and when a mesh shards V).
 
     Returns:
         (metrics, weights (sum D_b, V), best_alphas (V,), best_gammas (V, B)).
@@ -396,6 +455,7 @@ def fit_banded_ridge(
         s = _score_gammas(
             Xs, Y_in, gammas, inner_splits, np.asarray(alphas), normalpha,
             use_corr, singcutoff, method, vox_mesh=mesh_in, fast_scan=fast,
+            voxel_chunk=(voxel_chunk_size if Y_in is Y_j else None),
         )
         return jax.block_until_ready(s[..., :V] if Y_in is Y_j else s)
 

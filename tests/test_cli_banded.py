@@ -390,3 +390,49 @@ def test_cli_tp_flags_parse():
         "--cache_dir", "c", "--tp_data", "2", "--tp_model", "4",
     ])
     assert args.tp_data == 2 and args.tp_model == 4
+
+
+def test_banded_voxel_chunked_matches_unchunked():
+    """voxel_chunk_size streams the scan's voxel work in chunks (the
+    single-chip whole-brain memory knob); selection and weights must match
+    the whole-array path exactly (chunking only reorders columnwise work)."""
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    T, Tp, V = 200, 40, 77
+    Xs = [rng.normal(size=(T, d)).astype(np.float32) for d in (16, 8)]
+    Xts = [rng.normal(size=(Tp, d)).astype(np.float32) for d in (16, 8)]
+    wts = [rng.normal(size=(d, V)).astype(np.float32) / np.sqrt(d)
+           for d in (16, 8)]
+    Y = (sum(x @ w for x, w in zip(Xs, wts))
+         + rng.normal(size=(T, V))).astype(np.float32)
+    yt = (sum(x @ w for x, w in zip(Xts, wts))
+          + rng.normal(size=(Tp, V))).astype(np.float32)
+    kw = dict(X_tests=Xts, y_test=yt, n_gammas=4, n_inner_folds=4,
+              chunk_length=10, seed=0)
+
+    m0, w0, a0, g0 = fit_banded_ridge(Xs, Y, **kw)
+    # 32-voxel chunks: 2 full chunks + a 13-voxel tail dispatch.
+    m1, w1, a1, g1 = fit_banded_ridge(Xs, Y, voxel_chunk_size=32, **kw)
+    assert np.array_equal(a0, a1)
+    assert np.array_equal(g0, g1)
+    assert np.abs(w0 - w1).max() < 1e-6
+    assert m0["median_score"] == pytest.approx(m1["median_score"], abs=1e-7)
+
+
+def test_banded_voxel_chunk_warns_on_eigh_scan(caplog):
+    """voxel_chunk_size without the chol scan gates must warn + run
+    unchunked (not silently produce a different program)."""
+    import logging
+
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    T, V = 120, 40
+    Xs = [rng.normal(size=(T, d)).astype(np.float32) for d in (10, 6)]
+    Y = rng.normal(size=(T, V)).astype(np.float32)
+    with caplog.at_level(logging.WARNING,
+                         logger="litcoder_core_tpu.models.banded"):
+        fit_banded_ridge(Xs, Y, alphas=np.logspace(-4, 3, 5),  # min < 0.03
+                         n_gammas=2, n_inner_folds=3, chunk_length=10,
+                         seed=0, voxel_chunk_size=16)
+    assert any("voxel_chunk_size requires" in r.message
+               for r in caplog.records)
