@@ -212,6 +212,41 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
     return total / jnp.float32(len(inner_splits))
 
 
+@jax.jit
+def _gram_f32(Xc):
+    """(D, D) full-precision Gram of the concatenated features."""
+    return jnp.dot(Xc.T, Xc, precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
+def _chol_L(Gg, na):
+    """One Cholesky factor of (Gg + na^2 I) — single jit signature for
+    every (gamma, alpha) refit group (compiles once per fit, not per
+    group shape)."""
+    eye = jnp.eye(Gg.shape[0], dtype=jnp.float32)
+    return jnp.linalg.cholesky(Gg + (na * na) * eye)
+
+
+@jax.jit
+def _chol_solve_gather(L, s_vec, XtY_full, idx):
+    """Refit weights for one (gamma, alpha) voxel group:
+    (Gg + na^2 I)^-1 (s ∘ X^T Y)[:, idx]. `idx` is bucket-padded so the
+    jit signature varies only with the bucket width — XtY_full keeps one
+    fixed dataset-wide shape and the group gather happens on device."""
+    rhs = s_vec[:, None] * XtY_full[:, idx]
+    Z = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
+
+
+def _bucket_width(n: int, minimum: int = 128) -> int:
+    """Round a refit-group voxel count up to a power-of-2 bucket so the
+    triangular-solve jit signatures are reused across groups and fits."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
 @partial(jax.jit,
          static_argnames=("normalpha", "use_corr", "singcutoff", "scan",
                           "fast_scan", "complement", "chunk", "n_chunks",
@@ -488,10 +523,61 @@ def fit_banded_ridge(
     # --- refit grouped by winning gamma candidate --------------------------
     D_total = sum(X.shape[1] for X in Xs)
     weights = np.zeros((D_total, V), np.float32)
+    # Cholesky refit (same gates as the chol scan): the spectral refit's
+    # one eigh PER gamma group is the banded fit's dominant warm cost at
+    # north-star D (~5k: each (D, D) eigh is ~20 s on v5e, far off the MXU
+    # roofline; measured refit 80-116 s of the fit wall). Grouping voxels
+    # by (winning gamma, winning alpha) instead makes every group a single
+    # SPD solve — two triangular solves against a power-of-2-bucketed RHS
+    # — with ONE jit signature for the factor and a handful for the
+    # bucketed widths, all reused across groups, n_gammas and fits.
+    a_np_r = np.asarray(alphas)
+    chol_refit = (
+        method in ("auto", "chol") and normalpha and singcutoff <= 1e-10
+        and a_np_r.size and float(a_np_r.min()) >= 0.03
+        and T >= D_total
+        # With a voxel-sharded Y the fixed-shape X^T Y below would be
+        # sharded too, and the per-group column gathers would force
+        # collectives — mesh fits keep the spectral refit.
+        and vox_mesh is None
+    )
     refit_stage = timer.stage("refit")
     refit_stage.__enter__()
+    if chol_refit:
+        from litcoder_core_tpu.models.ridge import lmax_dense
+
+        H = jax.lax.Precision.HIGHEST
+        Xc_r = jnp.concatenate(
+            [jnp.asarray(X, jnp.float32) for X in Xs], axis=1
+        )
+        G_full = _gram_f32(Xc_r)
+        XtY_full = jnp.dot(Xc_r.T, Y_j, precision=H)  # (D, V), one shape
     for g_idx in np.unique(best_g):
         sel = np.nonzero(best_g == g_idx)[0]
+        scale = np.concatenate([
+            np.full(X.shape[1], np.sqrt(gammas[g_idx][b]), np.float32)
+            for b, X in enumerate(Xs)
+        ])
+        if chol_refit:
+            s_vec = jnp.asarray(scale)
+            Gg = G_full * (s_vec[:, None] * s_vec[None, :])
+            s0 = jnp.sqrt(jnp.maximum(lmax_dense(Gg), 0.0))  # normalpha on
+            for a_idx in np.unique(best_a[sel]):
+                vox = sel[best_a[sel] == a_idx]
+                na = jnp.float32(alphas[a_idx]) * s0
+                L = _chol_L(Gg, na)
+                b = _bucket_width(vox.size)
+                # Bucket-pad the gather indices (repeats of the first
+                # voxel; the pad columns are sliced off below).
+                idx = np.full(b, vox[0], np.int32)
+                idx[:vox.size] = vox
+                wg = _chol_solve_gather(L, s_vec, XtY_full,
+                                        jnp.asarray(idx))
+                # Undo the band scaling so weights apply to RAW features:
+                # y = (X*sqrt(g)) w  =>  w_raw = sqrt(g) * w.
+                weights[:, vox] = (np.asarray(wg)[:, :vox.size]
+                                   * scale[:, None])
+            continue
         Xg = _scale_bands(Xs, gammas[g_idx])
         # 'chol' names the SEARCH kernel; the refit needs a spectral basis
         # picked by shape (cf. nested_cv._fit_and_score).
@@ -499,16 +585,9 @@ def fit_banded_ridge(
         svd = ridge_svd(Xg, None, singcutoff=singcutoff, method=svd_method)
         val = jnp.asarray(best_alphas[sel], jnp.float32)
         nal = val * svd.S[0] if normalpha else val
-        # Gather the group's responses on HOST (Y_np): with a sharded Y_j a
-        # data-dependent voxel gather would force cross-device collectives.
+        # Host gather (see above).
         wt = np.asarray(ridge_fit_from_svd(svd, jnp.asarray(Y_np[:, sel]),
                                            nal))
-        # Undo the band scaling so weights apply to RAW features:
-        # y = (X*sqrt(g)) w  =>  w_raw = sqrt(g) * w.
-        scale = np.concatenate([
-            np.full(X.shape[1], np.sqrt(gammas[g_idx][b]), np.float32)
-            for b, X in enumerate(Xs)
-        ])
         weights[:, sel] = wt * scale[:, None]
     refit_stage.__exit__(None, None, None)
 

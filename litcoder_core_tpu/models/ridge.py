@@ -251,22 +251,30 @@ def _lanczos_lmax(matvec, v0, m: int):
     off = jnp.zeros(m, jnp.float32)
 
     def body(i, carry):
-        basis, diag, off, v, v_prev, b_prev = carry
+        basis, diag, off, v, v_prev, b_prev, scale = carry
         w = matvec(v)
         a = jnp.dot(w, v, precision=_HIGHEST)
         w = w - a * v - b_prev * v_prev
         w = w - jnp.dot(basis.T, jnp.dot(basis, w, precision=_HIGHEST),
                         precision=_HIGHEST)
         b = jnp.linalg.norm(w)
-        alive = b > 1e-12 * jnp.maximum(jnp.abs(a), 1.0)
+        scale = jnp.maximum(scale, jnp.abs(a))
+        # f32 breakdown test: after the Krylov space is exhausted (rank-
+        # deficient Grams — e.g. FIR-duplicated features), the residual
+        # norm floors at ~eps_f32 * ||G|| ~ 1e-7 * scale, far above an
+        # f64-style 1e-12 cutoff; normalizing that cancellation noise used
+        # to feed junk directions whose recurrence blew up to NaN.
+        alive = b > 1e-6 * jnp.maximum(scale, 1.0)
         v_next = jnp.where(alive, w / jnp.maximum(b, 1e-30), 0.0)
         b = jnp.where(alive, b, 0.0)
+        # Once dead, stay dead: a dead step writes zero rows, and zeroed
+        # diag/off entries cannot re-arm the recurrence.
         return (basis.at[i].set(v), diag.at[i].set(a), off.at[i].set(b),
-                v_next, v, b)
+                v_next, v, b, scale)
 
     init = (basis, diag, off, v0, jnp.zeros_like(v0),
-            jnp.asarray(0.0, jnp.float32))
-    _, diag, off, _, _, _ = jax.lax.fori_loop(0, m, body, init)
+            jnp.asarray(0.0, jnp.float32), jnp.asarray(0.0, jnp.float32))
+    _, diag, off, _, _, _, _ = jax.lax.fori_loop(0, m, body, init)
     idx = jnp.arange(m - 1)
     tri = (jnp.diag(diag)
            .at[idx, idx + 1].set(off[:m - 1])

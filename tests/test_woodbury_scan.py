@@ -363,3 +363,50 @@ def test_chol_fast_scan_selects_same_alphas():
     fast = _find_best_alphas(X, Y, folds, alphas, False, True, True,
                              1e-10, None, method="chol", fast_scan=True)
     assert np.mean(slow == fast) > 0.95  # ties may flip; selection stable
+
+
+def test_banded_chol_refit_matches_spectral_weights():
+    """The (gamma, alpha)-grouped Cholesky refit (auto path, eligible
+    grids) must reproduce the spectral per-gamma-group refit's weights:
+    (Gg + a^2 I)^-1 X^T y == V diag(S/(S^2+a^2)) S^-1 V^T X^T y for
+    alpha > 0 with no spectral truncation in play."""
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    r = np.random.default_rng(21)
+    t, tp, v = 320, 60, 41
+    X1 = r.normal(size=(t, 14)).astype(np.float32)
+    X2 = r.normal(size=(t, 6)).astype(np.float32)
+    w1 = r.normal(size=(14, v)).astype(np.float32)
+    Y = (X1 @ w1 + 0.6 * r.normal(size=(t, v))).astype(np.float32)
+    Xt1 = r.normal(size=(tp, 14)).astype(np.float32)
+    Xt2 = r.normal(size=(tp, 6)).astype(np.float32)
+    Yt = (Xt1 @ w1 + 0.6 * r.normal(size=(tp, v))).astype(np.float32)
+
+    kw = dict(X_tests=[Xt1, Xt2], y_test=Yt, n_gammas=4,
+              chunk_length=10, n_inner_folds=4, seed=0)
+    m_a, w_a, a_a, g_a = fit_banded_ridge([X1, X2], Y, method="auto", **kw)
+    m_e, w_e, a_e, g_e = fit_banded_ridge([X1, X2], Y, method="eigh", **kw)
+    np.testing.assert_array_equal(a_a, a_e)
+    np.testing.assert_array_equal(g_a, g_e)
+    scale = max(np.abs(w_e).max(), 1e-6)
+    assert np.abs(w_a - w_e).max() / scale < 1e-4
+    np.testing.assert_allclose(m_a["correlations"], m_e["correlations"],
+                               atol=1e-5)
+
+
+def test_lmax_dense_rank_deficient_gram():
+    """f32 Lanczos breakdown regression: Grams of FIR-duplicated features
+    are rank-deficient; once the Krylov space is exhausted the residual
+    floors at ~eps_f32 * ||G||, and the old 1e-12 aliveness cutoff kept
+    normalizing cancellation noise until the recurrence went NaN. The
+    estimate must stay finite and accurate."""
+    from litcoder_core_tpu.models.ridge import lmax_dense
+
+    r = np.random.default_rng(5)
+    base = r.normal(size=(140, 33)).astype(np.float32)
+    X = np.concatenate([base, base], axis=1)  # rank 33 of D=66
+    G = jnp.asarray(X.T @ X)
+    true = float(np.linalg.eigvalsh(np.asarray(G, np.float64)).max())
+    est = float(lmax_dense(G))
+    assert np.isfinite(est)
+    np.testing.assert_allclose(est, true, rtol=1e-5)
