@@ -75,6 +75,9 @@ def main():
             Xs, Y, X_tests=X_tests, y_test=y_test, alphas=alphas,
             n_gammas=n_gammas, n_inner_folds=F, chunk_length=CHUNK, seed=0,
             fast_scan=fast_scan, voxel_chunk_size=args.voxel_chunk,
+            # Metrics-only, like northstar.py (the reference's ModelSaver
+            # defaults to save_weights=False) — skips the (D, V) fetch.
+            return_weights=False,
         )
         cold = time.perf_counter() - t0
         t0 = time.perf_counter()
@@ -82,6 +85,7 @@ def main():
             Xs, Y, X_tests=X_tests, y_test=y_test, alphas=alphas,
             n_gammas=n_gammas, n_inner_folds=F, chunk_length=CHUNK, seed=0,
             fast_scan=fast_scan, voxel_chunk_size=args.voxel_chunk,
+            return_weights=False,
         )
         warm = time.perf_counter() - t0
         rec = {

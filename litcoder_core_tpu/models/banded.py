@@ -228,6 +228,16 @@ def _chol_L(Gg, na):
 
 
 @jax.jit
+def _predict_group(X_test, s_vec, wg):
+    """Test predictions for one refit group, on device: X w_raw with
+    w_raw = s ∘ wg folds into (X_test * s) wg — avoids round-tripping the
+    (D, V) weight matrix through the host just to predict (the weight
+    upload alone is ~420 MB at surface V over the tunnel)."""
+    return jnp.dot(X_test * s_vec[None, :], wg,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.jit
 def _chol_solve_gather(L, s_vec, XtY_full, idx):
     """Refit weights for one (gamma, alpha) voxel group:
     (Gg + na^2 I)^-1 (s ∘ X^T Y)[:, idx]. `idx` is bucket-padded so the
@@ -402,7 +412,8 @@ def fit_banded_ridge(
     significance: str = "parametric",
     n_permutations: int = 1000,
     voxel_chunk_size: Optional[int] = None,
-) -> Tuple[Dict, np.ndarray, np.ndarray, np.ndarray]:
+    return_weights: bool = True,
+) -> Tuple[Dict, Optional[np.ndarray], np.ndarray, np.ndarray]:
     """Banded ridge with per-voxel (gamma, alpha) selection by inner CV.
 
     Args:
@@ -431,6 +442,9 @@ def fit_banded_ridge(
             required for single-chip whole-brain V next to the ~10 GB
             response matrix (same knob as fit_nested_cv; chol scan only,
             ignored with a warning otherwise and when a mesh shards V).
+        return_weights: False skips materializing/fetching the (sum D_b, V)
+            weight matrix (metrics-only runs; the returned weights are
+            None — same contract as fit_nested_cv).
 
     Returns:
         (metrics, weights (sum D_b, V), best_alphas (V,), best_gammas (V, B)).
@@ -522,7 +536,6 @@ def fit_banded_ridge(
 
     # --- refit grouped by winning gamma candidate --------------------------
     D_total = sum(X.shape[1] for X in Xs)
-    weights = np.zeros((D_total, V), np.float32)
     # Cholesky refit (same gates as the chol scan): the spectral refit's
     # one eigh PER gamma group is the banded fit's dominant warm cost at
     # north-star D (~5k: each (D, D) eigh is ~20 s on v5e, far off the MXU
@@ -541,6 +554,12 @@ def fit_banded_ridge(
         # collectives — mesh fits keep the spectral refit.
         and vox_mesh is None
     )
+    # The weight matrix is materialized on host when the caller wants it
+    # back, or when the spectral refit needs it to predict; the chol refit
+    # predicts on device per group and can skip it entirely.
+    need_w = return_weights or not chol_refit
+    weights = np.zeros((D_total, V), np.float32) if need_w else None
+    y_pred_np = None
     refit_stage = timer.stage("refit")
     refit_stage.__enter__()
     if chol_refit:
@@ -552,6 +571,11 @@ def fit_banded_ridge(
         )
         G_full = _gram_f32(Xc_r)
         XtY_full = jnp.dot(Xc_r.T, Y_j, precision=H)  # (D, V), one shape
+        if X_tests is not None:
+            X_test_dev = jnp.asarray(np.concatenate(
+                [np.asarray(X, np.float32) for X in X_tests], axis=1
+            ))
+            y_pred_np = np.empty((X_test_dev.shape[0], V), np.float32)
     for g_idx in np.unique(best_g):
         sel = np.nonzero(best_g == g_idx)[0]
         scale = np.concatenate([
@@ -573,10 +597,14 @@ def fit_banded_ridge(
                 idx[:vox.size] = vox
                 wg = _chol_solve_gather(L, s_vec, XtY_full,
                                         jnp.asarray(idx))
-                # Undo the band scaling so weights apply to RAW features:
-                # y = (X*sqrt(g)) w  =>  w_raw = sqrt(g) * w.
-                weights[:, vox] = (np.asarray(wg)[:, :vox.size]
-                                   * scale[:, None])
+                if y_pred_np is not None:
+                    pred = _predict_group(X_test_dev, s_vec, wg)
+                    y_pred_np[:, vox] = np.asarray(pred)[:, :vox.size]
+                if weights is not None:
+                    # Undo the band scaling so weights apply to RAW
+                    # features: y = (X*sqrt(g)) w  =>  w_raw = sqrt(g) * w.
+                    weights[:, vox] = (np.asarray(wg)[:, :vox.size]
+                                       * scale[:, None])
             continue
         Xg = _scale_bands(Xs, gammas[g_idx])
         # 'chol' names the SEARCH kernel; the refit needs a spectral basis
@@ -595,10 +623,13 @@ def fit_banded_ridge(
     if X_tests is not None and y_test is not None:
         test_stage = timer.stage("test_scoring")
         test_stage.__enter__()
-        X_test = np.concatenate(
-            [np.asarray(X, np.float32) for X in X_tests], axis=1
-        )
-        y_pred = np.asarray(predict(X_test, weights))
+        if y_pred_np is not None:  # chol refit predicted on device
+            y_pred = y_pred_np
+        else:
+            X_test = np.concatenate(
+                [np.asarray(X, np.float32) for X in X_tests], axis=1
+            )
+            y_pred = np.asarray(predict(X_test, weights))
         corr = np.asarray(pearson_r(jnp.asarray(y_test, jnp.float32),
                                     jnp.asarray(y_pred)))
         if significance == "permutation":
