@@ -290,15 +290,23 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
     sp = jax.lax.Precision.DEFAULT if fast_scan else H
 
     def one_fold(tr, va):
-        Xva, Yva = Xc[va], Y[va]
+        Xva = Xc[va]
+        chunked = chunk > 0  # only reachable with scan == 'chol'
         if complement:
-            # Downdate the union products: no (T_tr, D)/(T_tr, V) gathers.
+            # Downdate the union Gram: no (T_tr, D) gather.
             G_tr = G_all - jnp.dot(Xva.T, Xva, precision=H)
-            XtY = XtY_all - jnp.dot(Xva.T, Yva, precision=sp)
         else:
             Xtr = Xc[tr]
             G_tr = jnp.dot(Xtr.T, Xtr, precision=H)   # (D, D), gamma-free
-            XtY = jnp.dot(Xtr.T, Y[tr], precision=sp)  # (D, V), gamma-free
+        if not chunked:
+            # Fold-level (Tva, V)/(D, V) buffers only when V fits whole;
+            # the chunked path streams both per voxel chunk instead (at
+            # whole-brain V these two buffers are ~4 GB next to the 10 GB
+            # response matrix).
+            Yva = Y[va]
+            XtY = (XtY_all - jnp.dot(Xva.T, Yva, precision=sp)
+                   if complement
+                   else jnp.dot(Xtr.T, Y[tr], precision=sp))  # (D, V)
 
         if scan == "chol":
             eye = jnp.eye(G_tr.shape[0], dtype=jnp.float32)
@@ -308,15 +316,15 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
             # full voxel counts, but s XtY (D, V) when V << Tva — e.g. the
             # fast_scan='auto' fp32 calibration subset (512 voxels), which
             # otherwise pays the entire solve cost of a full scan.
-            voxel_side = Y.shape[1] < Xva.shape[0] and chunk == 0
-            if chunk == 0:
+            voxel_side = Y.shape[1] < Xva.shape[0] and not chunked
+            if not chunked:
                 zP = zscore(Yva, axis=0)
                 Pvar = jnp.var(Yva, axis=0, ddof=1)
 
             def one_gamma(s):
                 Gg = G_tr * (s[:, None] * s[None, :])
                 Xva_s = Xva * s[None, :]                # (Tva, D)
-                if chunk == 0:
+                if not chunked:
                     sXtY = s[:, None] * XtY             # (D, V)
                 if normalpha:
                     s0 = jnp.sqrt(jnp.maximum(lmax_dense(Gg), 0.0))
@@ -324,41 +332,61 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
                 else:
                     nal = alphas
 
-                def one_alpha(na):
+                if not chunked:
+                    def one_alpha(na):
+                        L = jnp.linalg.cholesky(Gg + (na * na) * eye)
+                        rhs = sXtY if voxel_side else Xva_s.T
+                        Z = jax.scipy.linalg.solve_triangular(
+                            L, rhs, lower=True)
+                        Z = jax.scipy.linalg.solve_triangular(
+                            L.T, Z, lower=False)        # (D, V) | (D, Tva)
+                        if voxel_side:
+                            pred = jnp.dot(Xva_s, Z, precision=sp)
+                        else:
+                            pred = jnp.dot(Z.T, sXtY, precision=sp)
+                        return _score_predictions(pred, Yva, zP, Pvar,
+                                                  use_corr)
+
+                    return jax.lax.map(one_alpha, nal)  # (A, V)
+
+                # Chunked scoring: the solves are voxel-independent, so
+                # they run ONCE per (gamma, alpha) into Z_all (A, D, Tva);
+                # each voxel chunk then streams its own cross-product
+                # downdate, predictions, and chunk-local z-scores — no
+                # (D, V) or (Tva, V) fold buffers exist in this mode.
+                def solve_alpha(na):
                     L = jnp.linalg.cholesky(Gg + (na * na) * eye)
-                    rhs = sXtY if voxel_side else Xva_s.T
                     Z = jax.scipy.linalg.solve_triangular(
-                        L, rhs, lower=True)
-                    Z = jax.scipy.linalg.solve_triangular(
-                        L.T, Z, lower=False)            # (D, V) | (D, Tva)
-                    if voxel_side:
-                        pred = jnp.dot(Xva_s, Z, precision=sp)
-                        return _score_predictions(pred, Yva, zP, Pvar,
+                        L, Xva_s.T, lower=True)
+                    return jax.scipy.linalg.solve_triangular(
+                        L.T, Z, lower=False)            # (D, Tva)
+
+                Z_all = jax.lax.map(solve_alpha, nal)   # (A, D, Tva)
+
+                def score_chunk(c0):
+                    Ycol = jax.lax.dynamic_slice_in_dim(
+                        Y, c0, chunk, axis=1)           # (T, chunk)
+                    Yc = Ycol[va]                       # (Tva, chunk)
+                    if complement:
+                        XtY_c = (jax.lax.dynamic_slice_in_dim(
+                            XtY_all, c0, chunk, axis=1)
+                            - jnp.dot(Xva.T, Yc, precision=sp))
+                    else:
+                        XtY_c = jnp.dot(Xtr.T, Ycol[tr], precision=sp)
+                    sXtY_c = s[:, None] * XtY_c
+                    zPc = zscore(Yc, axis=0)
+                    Pvarc = jnp.var(Yc, axis=0, ddof=1)
+
+                    def one_alpha_c(Z):
+                        pred = jnp.dot(Z.T, sXtY_c, precision=sp)
+                        return _score_predictions(pred, Yc, zPc, Pvarc,
                                                   use_corr)
-                    if chunk == 0:
-                        pred = jnp.dot(Z.T, sXtY, precision=sp)
-                        return _score_predictions(pred, Yva, zP, Pvar,
-                                                  use_corr)
 
-                    # Chunked scoring: Z is voxel-independent, so only
-                    # the per-chunk cross-product slice, predictions and
-                    # scoring stream; chunk-local z-scores/variances are
-                    # computed in place (no (Tva, V) zP buffer).
-                    def score_chunk(c0):
-                        XtYc = jax.lax.dynamic_slice_in_dim(
-                            XtY, c0, chunk, axis=1)
-                        Yc = jax.lax.dynamic_slice_in_dim(
-                            Yva, c0, chunk, axis=1)
-                        pred = jnp.dot(Z.T, s[:, None] * XtYc,
-                                       precision=sp)
-                        return _score_predictions(
-                            pred, Yc, zscore(Yc, axis=0),
-                            jnp.var(Yc, axis=0, ddof=1), use_corr)
+                    return jax.lax.map(one_alpha_c, Z_all)  # (A, chunk)
 
-                    starts = offset + jnp.arange(n_chunks) * chunk
-                    return jax.lax.map(score_chunk, starts).reshape(-1)
-
-                return jax.lax.map(one_alpha, nal)      # (A, V | n_c*c)
+                starts = offset + jnp.arange(n_chunks) * chunk
+                out = jax.lax.map(score_chunk, starts)  # (n_c, A, chunk)
+                return jnp.moveaxis(out, 0, 1).reshape(nal.shape[0], -1)
         else:
             def one_gamma(s):
                 Gg = G_tr * (s[:, None] * s[None, :])
