@@ -389,6 +389,197 @@ def _score_fold_chol_all_complement(X, Y, va, Z_all, XtY_all,
                                            n_chunks * chunk)
 
 
+# --- dual (kernel-ridge) Cholesky search: wide folds (T_tr < D) -------------
+#
+# For wide designs (all-layer concatenations, big-model features on short
+# training sets) the (D, D) Gram is the LARGE object and the chol search is
+# ineligible. The dual identity w = X^T (X X^T + a^2 I)^-1 y (exact for
+# a > 0, any shape) makes the (T, T) kernel matrix the factored object:
+#   pred_a = X_va X_tr^T (K_tr + a^2 I)^-1 Y_tr = M_a^T Y_tr,
+#   M_a = (K_tr + a^2 I)^-1 K_tr,va,
+# so the per-fold V-independent factors M_a play exactly the role Z_all
+# plays in the primal chol search, with Y_tr itself as the "cross-product"
+# (no X^T Y is ever formed). K_full = X X^T is computed ONCE per search and
+# folds take SLICES of it — the dual analogue of the complement downdate,
+# with no downdate needed at all. Replaces the per-fold wide SVDs of the
+# spectral fallback (reference ridge_utils.py:34-67 runs the same search
+# through one torch SVD per fold).
+
+
+@jax.jit
+def _full_kernel(X):
+    """K = X X^T at full precision — the dual search's one big matmul."""
+    return jnp.dot(X, X.T, precision=jax.lax.Precision.HIGHEST)
+
+
+@partial(jax.jit, static_argnames=("normalpha",))
+def _dual_fold_factors(K_full, tr, va, alphas, normalpha: bool):
+    """M_all (A, Ttr, Tva): per-alpha dual solve factors for one fold,
+    M_a = (K_tr + nal_a^2 I)^-1 K_tr,va, from 2-D slices of the full
+    kernel matrix. normalpha's S[0] = sqrt(lmax(K_tr)) — the kernel and
+    Gram share their nonzero spectrum, so the scale matches the spectral
+    paths exactly (Lanczos, cf. _chol_factors_from_gram)."""
+    from litcoder_core_tpu.models.ridge import lmax_dense
+
+    alphas = jnp.asarray(alphas, jnp.float32)
+    # Fused 2-D gathers: K_full[tr][:, tr] would materialize a (Ttr, T)
+    # intermediate (GB-scale at north-star T).
+    Ktr = K_full[tr[:, None], tr[None, :]]      # (Ttr, Ttr)
+    Ktrva = K_full[tr[:, None], va[None, :]]    # (Ttr, Tva)
+    if normalpha:
+        s0 = jnp.sqrt(jnp.maximum(lmax_dense(Ktr), 0.0))
+        nal = alphas * s0
+    else:
+        nal = alphas
+    eye = jnp.eye(Ktr.shape[0], dtype=jnp.float32)
+
+    def one_alpha(na):
+        L = jnp.linalg.cholesky(Ktr + (na * na) * eye)
+        Z = jax.scipy.linalg.solve_triangular(L, Ktrva, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
+
+    return jax.lax.map(one_alpha, nal)
+
+
+@partial(jax.jit, static_argnames=("use_corr", "fast_scan"))
+def _score_fold_dual_whole(Y, tr, va, M_all, use_corr: bool,
+                           fast_scan: bool = False):
+    """Whole-array dual fold scores (A, V) — mesh-safe: Y's voxel axis is
+    only ever row-gathered (axis 0), so a voxel-sharded Y stays sharded
+    through pred = M_a^T Y_tr and the scoring reductions, zero
+    collectives (same contract as _score_fold_chol_whole_complement)."""
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
+    Y = jnp.asarray(Y, jnp.float32)
+    return _score_alphas_from_factors(M_all, Y[tr], Y[va], use_corr, sp)
+
+
+@partial(jax.jit, static_argnames=("normalpha", "use_corr", "fast_scan"))
+def _score_fold_dual_voxel_side(K_full, Y, tr, va, alphas,
+                                normalpha: bool, use_corr: bool,
+                                fast_scan: bool = False):
+    """Voxel-side dual variant for V << Tva (the fast_scan='auto' fp32
+    calibration subset): solve against Y_tr (Ttr, V) instead of K_tr,va
+    (Ttr, Tva) — C_a = (K_tr + nal^2 I)^-1 Y_tr, pred = K_tr,va^T C_a —
+    so the triangular-solve cost scales with the 512-voxel subset, not
+    the fold width (cf. the primal path's voxel_side rhs choice)."""
+    from litcoder_core_tpu.models.ridge import _score_predictions, lmax_dense
+
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
+    Y = jnp.asarray(Y, jnp.float32)
+    alphas = jnp.asarray(alphas, jnp.float32)
+    Ktr = K_full[tr[:, None], tr[None, :]]
+    Ktrva = K_full[tr[:, None], va[None, :]]
+    Ytr, Yva = Y[tr], Y[va]
+    zP = zscore(Yva, axis=0)
+    Pvar = jnp.var(Yva, axis=0, ddof=1)
+    if normalpha:
+        s0 = jnp.sqrt(jnp.maximum(lmax_dense(Ktr), 0.0))
+        nal = alphas * s0
+    else:
+        nal = alphas
+    eye = jnp.eye(Ktr.shape[0], dtype=jnp.float32)
+
+    def one_alpha(na):
+        L = jnp.linalg.cholesky(Ktr + (na * na) * eye)
+        C = jax.scipy.linalg.solve_triangular(L, Ytr, lower=True)
+        C = jax.scipy.linalg.solve_triangular(L.T, C, lower=False)
+        pred = jnp.dot(Ktrva.T, C, precision=sp)    # (Tva, V)
+        return _score_predictions(pred, Yva, zP, Pvar, use_corr)
+
+    return jax.lax.map(one_alpha, nal)
+
+
+@partial(jax.jit,
+         static_argnames=("use_corr", "chunk", "n_chunks", "offset",
+                          "fast_scan"))
+def _score_fold_dual_all(Y, tr, va, M_all, use_corr: bool,
+                         chunk: int, n_chunks: int, offset: int = 0,
+                         fast_scan: bool = False):
+    """Chunked dual fold scores (A, n_chunks*chunk) in one XLA program:
+    Y's columns are sliced BEFORE the row gathers, so per-chunk transients
+    are (T, chunk)-sized next to the untouched response matrix (same
+    streaming discipline as _score_fold_chol_all)."""
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
+    t = Y.shape[0]
+
+    def body(c):
+        Yc = jax.lax.dynamic_slice(Y, (0, offset + c * chunk), (t, chunk))
+        return _score_alphas_from_factors(M_all, Yc[tr], Yc[va], use_corr,
+                                          sp)
+
+    out = jax.lax.map(body, jnp.arange(n_chunks))   # (n_chunks, A, chunk)
+    return jnp.moveaxis(out, 0, 1).reshape(M_all.shape[0],
+                                           n_chunks * chunk)
+
+
+def _find_best_alphas_dual(X, Y, fold_splits, alphas, normalpha: bool,
+                           use_corr: bool,
+                           voxel_chunk_size: Optional[int],
+                           fast_scan: bool = False):
+    """Dual fold-streaming alpha search (wide folds): zero
+    eigendecompositions, one K = X X^T, per-fold kernel slices."""
+    n_alphas, n_voxels = len(alphas), Y.shape[1]
+    X = jnp.asarray(X, jnp.float32)
+    Y = jnp.asarray(Y, jnp.float32)
+    chunk = (voxel_chunk_size if voxel_chunk_size is not None else n_voxels)
+    full = (n_voxels // chunk) * chunk
+    K_full = _full_kernel(X)
+
+    corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
+    for train_idx, val_idx in fold_splits:
+        tr = jnp.asarray(train_idx)
+        va = jnp.asarray(val_idx)
+        if chunk >= n_voxels and n_voxels < len(val_idx):
+            # Calibration-sized voxel subsets: V-scaled solves beat
+            # fold-width-scaled factors.
+            fold_scores = _score_fold_dual_voxel_side(
+                K_full, Y, tr, va, alphas, normalpha, use_corr, fast_scan,
+            )
+            corr_sum = corr_sum + fold_scores
+            continue
+        M_all = _dual_fold_factors(K_full, tr, va, alphas, normalpha)
+        if chunk >= n_voxels:
+            fold_scores = _score_fold_dual_whole(Y, tr, va, M_all,
+                                                 use_corr, fast_scan)
+        else:
+            parts = []
+            if full:
+                parts.append(_score_fold_dual_all(
+                    Y, tr, va, M_all, use_corr, chunk, full // chunk, 0,
+                    fast_scan,
+                ))
+            if n_voxels > full:
+                parts.append(_score_fold_dual_all(
+                    Y, tr, va, M_all, use_corr, n_voxels - full, 1, full,
+                    fast_scan,
+                ))
+            fold_scores = (jnp.concatenate(parts, axis=1)
+                           if len(parts) > 1 else parts[0])
+        corr_sum = corr_sum + fold_scores
+    return corr_sum / len(fold_splits)
+
+
+def _dual_search_eligible(method: str, normalpha: bool, alphas,
+                          fold_splits, n_features: int,
+                          singcutoff: float = 1e-10) -> bool:
+    """Gate for the dual search: explicit 'dual', or 'auto' when every
+    fold is WIDE (T_tr < D: the (Ttr, Ttr) kernel is the small object) —
+    the exact mirror of _chol_search_eligible, with the same alpha-grid
+    and singcutoff conditions (K_tr + nal^2 I shares the Gram's nonzero
+    spectrum, so the f32 conditioning argument is identical)."""
+    if method == "dual":
+        return True
+    if method != "auto" or not normalpha or singcutoff > 1e-10:
+        return False
+    a = np.asarray(alphas)
+    if not (a.size and np.all(a >= 0.03)):
+        return False
+    return all(len(tr) < n_features for tr, _ in fold_splits)
+
+
 @jax.jit
 def _full_gram(X):
     return jnp.dot(X.T, X, precision=jax.lax.Precision.HIGHEST)
@@ -913,7 +1104,9 @@ def _mean_fold_scores(
     ttr, _tva = next(iter(shapes)) if len(shapes) == 1 else (0, 0)
     resolved = method
     if resolved == "auto":
-        resolved = "eigh" if ttr >= X.shape[1] else "svd"
+        # Spectral fallback factors the small side: Gram eigh when tall,
+        # kernel ('dual') eigh when wide — never the iterative wide SVD.
+        resolved = "eigh" if ttr >= X.shape[1] else "dual"
 
     if _chol_search_eligible(method, normalpha, alphas, fold_splits,
                              X.shape[1], singcutoff):
@@ -921,6 +1114,16 @@ def _mean_fold_scores(
             "alpha search path: cholesky (eigensolve-free fold streaming)"
         )
         mean_corrs = _find_best_alphas_chol(
+            X, Y, fold_splits, alphas_j, normalpha, use_corr,
+            voxel_chunk_size, fast_scan,
+        )
+    elif _dual_search_eligible(method, normalpha, alphas, fold_splits,
+                               X.shape[1], singcutoff):
+        logger.info(
+            "alpha search path: dual cholesky (kernel-ridge; eigensolve-"
+            "free, wide folds)"
+        )
+        mean_corrs = _find_best_alphas_dual(
             X, Y, fold_splits, alphas_j, normalpha, use_corr,
             voxel_chunk_size, fast_scan,
         )
@@ -1049,9 +1252,10 @@ def _fit_and_score(
     circular-shift permutation p-values (ops.stats.permutation_pvalues;
     one-sided on r) using `perm_key`."""
     n_voxels = Y_train.shape[1]
-    # 'chol' is an alpha-SEARCH method; the per-voxel-alpha refit needs a
-    # spectral basis (one elementwise (D, V) shrinkage vs A dense solves).
-    svd_method = "auto" if method == "chol" else method
+    # 'chol'/'dual' are alpha-SEARCH methods; the per-voxel-alpha refit
+    # needs a spectral basis (one elementwise (D, V) shrinkage vs A dense
+    # solves) — 'auto' factors whichever side of X_train is smaller.
+    svd_method = "auto" if method in ("chol", "dual") else method
     svd = ridge_svd(X_train, None, singcutoff=singcutoff, method=svd_method)
     valphas_j = jnp.asarray(valphas, jnp.float32)
     nalphas = valphas_j * svd.S[0] if normalpha else valphas_j
@@ -1209,8 +1413,11 @@ def fit_nested_cv(
     NestedCVModel.fit_predict (encoding/models/nested_cv.py:18-71), with
     additions: `seed` (reproducible folds), `voxel_chunk_size` (HBM
     streaming; None = all voxels at once), `method`
-    ('auto'|'eigh'|'svd' spectral path — eigh of the Gram matrix is the fast
-    MXU formulation for tall designs; see models/ridge.py),
+    ('auto'|'chol'|'dual'|'eigh'|'svd' — 'auto' picks the eigensolve-free
+    Cholesky search when folds are tall, its dual/kernel-ridge twin when
+    folds are WIDE (T_tr < D: all-layer concatenations, short training
+    sets), and otherwise a spectral scan factoring the small side of each
+    fold; see models/ridge.py and _mean_fold_scores),
     `inner_splits`/`outer_splits` (inject custom CV folds; for full-CV mode
     inner_splits may be a list of per-outer-fold lists), and
     `mesh`/`n_devices` (multi-chip: shard the voxel axis of the responses,

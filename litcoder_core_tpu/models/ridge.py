@@ -15,7 +15,15 @@ HuthLab ridge) as pure jitted JAX programs:
       S^-1 V^T (X^T Y), again a pure matmul. For tall designs (T >> D, the
       encoding-model regime: ~27k TRs x ~3k FIR features) this replaces an
       O(T D^2) iterative SVD with MXU-saturating matmuls.
-    * 'auto' — eigh when T >= D, else svd.
+    * 'dual' — the mirror image for WIDE designs (D > T: all-layer
+      concatenations, large-model features on short training sets):
+      eigendecompose the (T, T) kernel matrix X X^T, U = eigvecs,
+      S = sqrt(eigvals), Vh = S^-1 U^T X. Replaces the O(T^2 D) iterative
+      wide SVD with one MXU matmul + a small symmetric eigensolve, exactly
+      like 'eigh' but factoring whichever side is smaller. The reference's
+      torch SVD (ridge_utils.py:34-67) covers wide shapes implicitly; this
+      is its TPU-native small-side formulation.
+    * 'auto' — eigh when T >= D, else dual.
 - `ridge_corr`: the reference loops over the alpha grid in Python rebuilding
   diag-matmuls per alpha (ridge_regression.py:115-134); here the whole grid is
   one lax.map over a closed-over spectral state, each step a single fused
@@ -78,9 +86,22 @@ def ridge_svd(Rstim, Pstim=None, singcutoff: float = 1e-10,
     Rstim = jnp.asarray(Rstim, jnp.float32)
     T, D = Rstim.shape
     if method == "auto":
-        method = "eigh" if T >= D else "svd"
+        method = "eigh" if T >= D else "dual"
 
-    if method == "eigh":
+    if method == "dual":
+        # Small-side factorization for wide designs: eig(X X^T) = U S^2 U^T
+        # where X = U S Vh, so Vh = S^-1 U^T X. Nonzero spectrum identical
+        # to the Gram path; masked (S <= singcutoff) rows of Vh are zeroed
+        # so downstream products match the svd path's masking exactly.
+        K = jnp.dot(Rstim, Rstim.T, precision=_HIGHEST)  # (T, T)
+        evals, evecs = jnp.linalg.eigh(K)  # ascending
+        S = jnp.sqrt(jnp.maximum(jnp.flip(evals), 0.0))
+        U = jnp.flip(evecs, axis=1)
+        good = S > singcutoff
+        inv_s = jnp.where(good, 1.0 / jnp.where(good, S, 1.0), 0.0)
+        Vh = inv_s[:, None] * jnp.dot(U.T, Rstim, precision=_HIGHEST)
+        keepX = None
+    elif method == "eigh":
         gram = jnp.dot(Rstim.T, Rstim, precision=_HIGHEST)  # (D, D)
         evals, evecs = jnp.linalg.eigh(gram)  # ascending
         evals = jnp.flip(evals)
