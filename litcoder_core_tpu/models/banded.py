@@ -106,11 +106,17 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
     # nested-CV chol search: PD for alpha > 0, kappa ~ 1/min(alpha)^2,
     # spectral masking only below f32 noise).
     a_np = np.asarray(alphas)
-    scan = "eigh"
-    if (method in ("auto", "chol") and normalpha and singcutoff <= 1e-10
-            and a_np.size and np.all(a_np >= 0.03)):
-        scan = "chol"
-    if method == "svd" or not tall:
+    gates_ok = (normalpha and singcutoff <= 1e-10
+                and a_np.size and np.all(a_np >= 0.03))
+    scan = "chol" if (method in ("auto", "chol") and gates_ok) else "eigh"
+    # Dual (kernel-ridge) scan for WIDE designs (T_tr < sum D_b): per-band
+    # kernels K_b = X_b X_b^T once, gamma candidates as weighted kernel
+    # SUMS, per-(gamma, alpha) Cholesky — the banded twin of
+    # nested_cv._find_best_alphas_dual (forced 'dual' engages regardless
+    # of shape, mirroring _dual_search_eligible).
+    dual_scan = (method == "dual"
+                 or (not tall and method in ("auto", "chol") and gates_ok))
+    if method == "svd" or (not tall and not dual_scan):
         if fast_scan:
             # The per-(gamma, fold) fallback has no bf16 scan variant;
             # surface the downgrade instead of silently honoring the flag.
@@ -138,10 +144,63 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
             all_scores.append(corr_sum / len(inner_splits))
         return jnp.stack(all_scores)
 
-    scales = jnp.stack([_scale_vector(Xs, g) for g in gammas])  # (G, D)
     groups: Dict[Tuple[int, int], list] = {}
     for tr, va in inner_splits:
         groups.setdefault((len(tr), len(va)), []).append((tr, va))
+    V_in = Y_j.shape[1]
+
+    def _grouped(call_fn, chunk, n_chunks):
+        """Shape-grouped fold dispatch with full-chunks + tail split,
+        shared by the tall (Gram) and wide (dual/kernel) scans."""
+        def group_scores(folds):
+            tr_idx = jnp.asarray(np.stack([tr for tr, _ in folds]))
+            va_idx = jnp.asarray(np.stack([va for _, va in folds]))
+            if not chunk:
+                return call_fn(tr_idx, va_idx, 0, 0, 0)
+            parts = [call_fn(tr_idx, va_idx, chunk, n_chunks, 0)]
+            tail = V_in - n_chunks * chunk
+            if tail:
+                parts.append(call_fn(tr_idx, va_idx, tail, 1,
+                                     n_chunks * chunk))
+            return jnp.concatenate(parts, axis=-1)
+
+        if len(groups) == 1:
+            return group_scores(inner_splits)
+        # One dispatch per shape group; each returns its fold-group MEAN,
+        # so reweight by group size for the overall fold mean.
+        total = None
+        for folds in groups.values():
+            s = group_scores(folds) * jnp.float32(len(folds))
+            total = s if total is None else total + s
+        return total / jnp.float32(len(inner_splits))
+
+    if dual_scan:
+        chunk = n_chunks = 0
+        if voxel_chunk and vox_mesh is None and V_in > int(voxel_chunk):
+            chunk = int(voxel_chunk)
+            n_chunks = V_in // chunk
+        H = jax.lax.Precision.HIGHEST
+        offs = np.cumsum([0] + [X.shape[1] for X in Xs])
+        # Per-band kernels from the (possibly mesh-replicated) concat:
+        # slicing Xc keeps the replication, so Kbands is mesh-ready.
+        Kbands = jnp.stack([
+            jnp.dot(Xc[:, lo:hi], Xc[:, lo:hi].T, precision=H)
+            for lo, hi in zip(offs[:-1], offs[1:])
+        ])  # (B, T, T)
+        gammas_j = jnp.asarray(gammas, jnp.float32)
+        logger.info(
+            "banded scan path: dual cholesky (kernel-ridge; wide design)"
+        )
+
+        def call_dual(tr_idx, va_idx, c, n_c, off):
+            return _score_gammas_dual(
+                Kbands, Y_j, gammas_j, tr_idx, va_idx, alphas_j, normalpha,
+                use_corr, fast_scan, chunk=c, n_chunks=n_c, offset=off,
+            )
+
+        return _grouped(call_dual, chunk, n_chunks)
+
+    scales = jnp.stack([_scale_vector(Xs, g) for g in gammas])  # (G, D)
 
     # Complement identity (cf. nested_cv._complement_fold_factors): when
     # every fold's train rows are exactly arange(T) minus its val rows,
@@ -170,7 +229,6 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
     # as its OWN dispatch: a big array that is both a loop operand and
     # read post-loop in one program gets a full XLA copy
     # (docs/performance.rst "Memory at whole-brain scale").
-    V_in = Y_j.shape[1]
     chunk = n_chunks = 0
     if voxel_chunk and vox_mesh is None and V_in > int(voxel_chunk):
         if scan == "chol":
@@ -182,34 +240,14 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
                 "alpha >= 0.03, singcutoff <= 1e-10); running unchunked"
             )
 
-    def group_scores(folds):
-        tr_idx = jnp.asarray(np.stack([tr for tr, _ in folds]))
-        va_idx = jnp.asarray(np.stack([va for _, va in folds]))
+    def call_fast(tr_idx, va_idx, c, n_c, off):
+        return _score_gammas_fast(
+            Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha,
+            use_corr, singcutoff, scan, fast_scan, complement,
+            G_all, XtY_all, chunk=c, n_chunks=n_c, offset=off,
+        )
 
-        def call(c, n_c, off):
-            return _score_gammas_fast(
-                Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha,
-                use_corr, singcutoff, scan, fast_scan, complement,
-                G_all, XtY_all, chunk=c, n_chunks=n_c, offset=off,
-            )
-
-        if not chunk:
-            return call(0, 0, 0)
-        parts = [call(chunk, n_chunks, 0)]
-        tail = V_in - n_chunks * chunk
-        if tail:
-            parts.append(call(tail, 1, n_chunks * chunk))
-        return jnp.concatenate(parts, axis=-1)
-
-    if len(groups) == 1:
-        return group_scores(inner_splits)
-    # One dispatch per shape group; each returns its fold-group MEAN, so
-    # reweight by group size for the overall fold mean.
-    total = None
-    for folds in groups.values():
-        s = group_scores(folds) * jnp.float32(len(folds))
-        total = s if total is None else total + s
-    return total / jnp.float32(len(inner_splits))
+    return _grouped(call_fast, chunk, n_chunks)
 
 
 @jax.jit
@@ -415,6 +453,87 @@ def _score_gammas_fast(Xc, Y, scales, tr_idx, va_idx, alphas,
     # MXU-saturating, so the sequential map costs no throughput.
     scores = jax.lax.map(lambda tv: one_fold(tv[0], tv[1]),
                          (tr_idx, va_idx))  # (F, G, A, V)
+    return scores.mean(axis=0)  # (G, A, V)
+
+
+@partial(jax.jit,
+         static_argnames=("normalpha", "use_corr", "fast_scan", "chunk",
+                          "n_chunks", "offset"))
+def _score_gammas_dual(Kbands, Y, gammas, tr_idx, va_idx, alphas,
+                       normalpha: bool, use_corr: bool,
+                       fast_scan: bool = False,
+                       chunk: int = 0, n_chunks: int = 0, offset: int = 0):
+    """(G, A, V) scores via the dual (kernel-ridge) identity for WIDE
+    banded designs (T_tr < sum D_b — e.g. several large-model feature
+    spaces on a short training set), where the (D, D) Gram scan is the
+    wrong object and the fallback paid one factorization per
+    (gamma, fold).
+
+    Kbands (B, T, T) holds the per-band kernels K_b = X_b X_b^T, computed
+    ONCE per search. Band scaling collapses to a weighted SUM of kernels:
+    X_g = [sqrt(g_1) X_1 | ... ] gives K_g = sum_b g_b K_b, so each gamma
+    candidate costs B * Ttr^2 elementwise work instead of any matmul.
+    Folds take 2-D SLICES (no downdates needed — cf.
+    nested_cv._find_best_alphas_dual); per (gamma, alpha) one Cholesky of
+    (Ktr_g + nal^2 I) and predictions M_a^T Y_tr — zero
+    eigendecompositions, no X^T Y ever formed.
+
+    chunk > 0 streams the voxel-dependent work (Y slices, predictions,
+    scoring) per voxel chunk; the factors M_a are voxel-independent and
+    live only within their (gamma, alpha) step.
+    """
+    from litcoder_core_tpu.models.ridge import _score_predictions, lmax_dense
+    from litcoder_core_tpu.ops.stats import zscore
+
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
+    chunked = chunk > 0
+
+    def one_fold(tr, va):
+        Kb_tr = Kbands[:, tr[:, None], tr[None, :]]     # (B, Ttr, Ttr)
+        Kb_trva = Kbands[:, tr[:, None], va[None, :]]   # (B, Ttr, Tva)
+        eye = jnp.eye(Kb_tr.shape[1], dtype=jnp.float32)
+        if not chunked:
+            Ytr, Yva = Y[tr], Y[va]
+            zP = zscore(Yva, axis=0)
+            Pvar = jnp.var(Yva, axis=0, ddof=1)
+
+        def one_gamma(g):
+            Ktr = jnp.tensordot(g, Kb_tr, axes=1)       # (Ttr, Ttr)
+            Ktrva = jnp.tensordot(g, Kb_trva, axes=1)   # (Ttr, Tva)
+            if normalpha:
+                s0 = jnp.sqrt(jnp.maximum(lmax_dense(Ktr), 0.0))
+                nal = alphas * s0
+            else:
+                nal = alphas
+
+            def one_alpha(na):
+                L = jnp.linalg.cholesky(Ktr + (na * na) * eye)
+                M = jax.scipy.linalg.solve_triangular(L, Ktrva, lower=True)
+                M = jax.scipy.linalg.solve_triangular(L.T, M, lower=False)
+                if not chunked:
+                    pred = jnp.dot(M.T, Ytr, precision=sp)  # (Tva, V)
+                    return _score_predictions(pred, Yva, zP, Pvar, use_corr)
+
+                def score_chunk(c0):
+                    Yc = jax.lax.dynamic_slice_in_dim(Y, c0, chunk, axis=1)
+                    Yva_c = Yc[va]
+                    pred = jnp.dot(M.T, Yc[tr], precision=sp)
+                    return _score_predictions(
+                        pred, Yva_c, zscore(Yva_c, axis=0),
+                        jnp.var(Yva_c, axis=0, ddof=1), use_corr)
+
+                starts = offset + jnp.arange(n_chunks) * chunk
+                return jax.lax.map(score_chunk, starts).reshape(-1)
+
+            return jax.lax.map(one_alpha, nal)          # (A, V | n_c*c)
+
+        return jax.lax.map(one_gamma, gammas)           # (G, A, .)
+
+    # Sequential over folds (cf. _score_gammas_fast: vmapped folds batch
+    # every V-scaled buffer by the fold count and OOM at scale).
+    scores = jax.lax.map(lambda tv: one_fold(tv[0], tv[1]),
+                         (tr_idx, va_idx))
     return scores.mean(axis=0)  # (G, A, V)
 
 
