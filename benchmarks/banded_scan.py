@@ -20,6 +20,8 @@ import numpy as np
 
 def main():
     logging.basicConfig(level=logging.INFO)  # solver path + stage reports
+    from litcoder_core_tpu.cli import _fast_scan_arg  # shared value parser
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--whole_brain", action="store_true",
                         help="V=95556 instead of fsaverage5 20484")
@@ -27,16 +29,16 @@ def main():
                         default=[5, 10, 20])
     parser.add_argument("--t", type=int, default=26880)
     parser.add_argument("--fast_scan", nargs="?", const=True, default=False,
-                        help="bf16 scan matmuls (bare flag or 'auto' for "
-                             "the guarded calibration mode)")
+                        type=_fast_scan_arg,
+                        help="bf16 scan matmuls (bare flag, 'true'/'false',"
+                             " or 'auto' for the guarded calibration mode)")
     parser.add_argument("--voxel_chunk", type=int, default=None,
                         help="stream the scan's voxel work through chunks "
                              "(whole-brain default: 8192)")
     args = parser.parse_args()
     if args.whole_brain and args.voxel_chunk is None:
         args.voxel_chunk = 8192
-    fast_scan = (args.fast_scan if args.fast_scan in (False, True)
-                 else str(args.fast_scan))
+    fast_scan = args.fast_scan  # already True | False | 'auto'
 
     # 3 bands: LM (GPT-2 768 x 4 delays), speech-ish (512 x 4), wordrate
     # (1 x 4) — the driver's banded config shape.

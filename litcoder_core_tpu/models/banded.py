@@ -29,7 +29,6 @@ from litcoder_core_tpu.models.ridge import (
     ridge_corr_from_svd,
     ridge_fit_from_svd,
     ridge_svd,
-    predict,
 )
 from litcoder_core_tpu.ops.stats import (
     bh_fdrcorrection_np,
@@ -70,7 +69,7 @@ def _scale_vector(Xs: Sequence, gamma) -> jnp.ndarray:
 def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
                   use_corr: bool, singcutoff: float, method: str,
                   vox_mesh=None, fast_scan: bool = False,
-                  voxel_chunk=None):
+                  voxel_chunk=None, Xc=None, G_precomputed=None):
     """(G, A, V) inner-CV scores for every gamma candidate.
 
     Fast path (tall design): the per-fold block Grams and cross-products
@@ -91,7 +90,15 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
     """
     from litcoder_core_tpu.models.ridge import score_alpha_grid
 
-    Xc = jnp.concatenate([jnp.asarray(X, jnp.float32) for X in Xs], axis=1)
+    # `Xc` (the device concat) and `G_precomputed` (its full-precision
+    # Gram) may be shared by the caller so the refit does not redo them
+    # (the Gram alone is ~1.4 PFLOPs at north-star D).
+    if Xc is None:
+        Xc = jnp.concatenate(
+            [jnp.asarray(X, jnp.float32) for X in Xs], axis=1
+        )
+    else:
+        Xc = jnp.asarray(Xc, jnp.float32)
     if vox_mesh is not None:
         from litcoder_core_tpu.parallel.mesh import replicate
 
@@ -220,7 +227,8 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
         H = jax.lax.Precision.HIGHEST
         sp = (jax.lax.Precision.DEFAULT if fast_scan
               else jax.lax.Precision.HIGHEST)
-        G_all = jnp.dot(Xc.T, Xc, precision=H)
+        G_all = (G_precomputed if G_precomputed is not None
+                 else jnp.dot(Xc.T, Xc, precision=H))
         XtY_all = jnp.dot(Xc.T, Y_j, precision=sp)
 
     # Voxel chunking (chol scan only): stream the voxel-dependent part of
@@ -631,11 +639,41 @@ def fit_banded_ridge(
             "banded voxel-sharded scan: %d voxels (+%d pad) over %d devices",
             V, Y_j.shape[1] - V, vox_mesh.devices.size,
         )
+        if voxel_chunk_size:
+            # Same signal fit_nested_cv gives: the knob silently stopping
+            # would read as "chunking applied" when it did not.
+            logger.info(
+                "mesh sharding replaces voxel chunking; voxel_chunk_size "
+                "ignored (each device holds 1/%d of the voxel axis)",
+                vox_mesh.devices.size,
+            )
 
     gammas = sample_gammas(n_bands, n_gammas, seed=seed)
     inner_splits = create_folds(
         T, folding_type, n_inner_folds, chunk_length, seed=seed
     )
+
+    # Cholesky refit gate (same conditions as the chol scan; see the refit
+    # block below). Decided BEFORE the scan so the device concat and its
+    # full-precision Gram can be computed once and shared by both.
+    D_total = sum(X.shape[1] for X in Xs)
+    a_np_r = np.asarray(alphas)
+    chol_refit = (
+        method in ("auto", "chol") and normalpha and singcutoff <= 1e-10
+        and a_np_r.size and float(a_np_r.min()) >= 0.03
+        and T >= D_total
+        # With a voxel-sharded Y the fixed-shape X^T Y of the refit would
+        # be sharded too, and the per-group column gathers would force
+        # collectives — mesh fits keep the spectral refit.
+        and vox_mesh is None
+    )
+    Xc_j = jnp.concatenate([jnp.asarray(X, jnp.float32) for X in Xs],
+                           axis=1)
+    # Shared Gram: the scan's complement path and the chol refit need the
+    # same (D, D) HIGHEST-precision Gram (~1.4 PFLOPs at north-star D);
+    # compute it once. Only when the refit will reuse it — the wide/dual
+    # and fallback scans never form it.
+    G_shared = _gram_f32(Xc_j) if chol_refit else None
 
     # --- score every (gamma, alpha) on inner CV ---------------------------
     # scores has shape (G, A, V): mean fold correlation per gamma candidate.
@@ -652,6 +690,7 @@ def fit_banded_ridge(
             Xs, Y_in, gammas, inner_splits, np.asarray(alphas), normalpha,
             use_corr, singcutoff, method, vox_mesh=mesh_in, fast_scan=fast,
             voxel_chunk=(voxel_chunk_size if Y_in is Y_j else None),
+            Xc=Xc_j, G_precomputed=G_shared,
         )
         return jax.block_until_ready(s[..., :V] if Y_in is Y_j else s)
 
@@ -682,137 +721,126 @@ def fit_banded_ridge(
     best_gammas = gammas[best_g]  # (V, B)
 
     # --- refit grouped by winning gamma candidate --------------------------
-    D_total = sum(X.shape[1] for X in Xs)
-    # Cholesky refit (same gates as the chol scan): the spectral refit's
-    # one eigh PER gamma group is the banded fit's dominant warm cost at
-    # north-star D (~5k: each (D, D) eigh is ~20 s on v5e, far off the MXU
-    # roofline; measured refit 80-116 s of the fit wall). Grouping voxels
-    # by (winning gamma, winning alpha) instead makes every group a single
-    # SPD solve — two triangular solves against a power-of-2-bucketed RHS
-    # — with ONE jit signature for the factor and a handful for the
-    # bucketed widths, all reused across groups, n_gammas and fits.
-    a_np_r = np.asarray(alphas)
-    chol_refit = (
-        method in ("auto", "chol") and normalpha and singcutoff <= 1e-10
-        and a_np_r.size and float(a_np_r.min()) >= 0.03
-        and T >= D_total
-        # With a voxel-sharded Y the fixed-shape X^T Y below would be
-        # sharded too, and the per-group column gathers would force
-        # collectives — mesh fits keep the spectral refit.
-        and vox_mesh is None
-    )
-    # The weight matrix is materialized on host when the caller wants it
-    # back, or when the spectral refit needs it to predict; the chol refit
-    # predicts on device per group and can skip it entirely.
-    need_w = return_weights or not chol_refit
-    weights = np.zeros((D_total, V), np.float32) if need_w else None
+    # Cholesky refit (same gates as the chol scan; `chol_refit` decided
+    # above, before the scan): the spectral refit's one eigh PER gamma
+    # group is the banded fit's dominant warm cost at north-star D (~5k:
+    # each (D, D) eigh is ~20 s on v5e, far off the MXU roofline; measured
+    # refit 80-116 s of the fit wall). Grouping voxels by (winning gamma,
+    # winning alpha) instead makes every group a single SPD solve — two
+    # triangular solves against a power-of-2-bucketed RHS — with ONE jit
+    # signature for the factor and a handful for the bucketed widths, all
+    # reused across groups, n_gammas and fits.
+    #
+    # Both refits predict per group ON DEVICE, so the (D_total, V) weight
+    # matrix is materialized on host only when the caller asked for it
+    # (return_weights — the fit_nested_cv contract: None otherwise).
+    weights = np.zeros((D_total, V), np.float32) if return_weights else None
     y_pred_np = None
-    refit_stage = timer.stage("refit")
-    refit_stage.__enter__()
-    if chol_refit:
-        from litcoder_core_tpu.models.ridge import lmax_dense
-
-        H = jax.lax.Precision.HIGHEST
-        Xc_r = jnp.concatenate(
-            [jnp.asarray(X, jnp.float32) for X in Xs], axis=1
-        )
-        G_full = _gram_f32(Xc_r)
-        XtY_full = jnp.dot(Xc_r.T, Y_j, precision=H)  # (D, V), one shape
-        if X_tests is not None:
-            X_test_dev = jnp.asarray(np.concatenate(
-                [np.asarray(X, np.float32) for X in X_tests], axis=1
-            ))
-            y_pred_np = np.empty((X_test_dev.shape[0], V), np.float32)
-    for g_idx in np.unique(best_g):
-        sel = np.nonzero(best_g == g_idx)[0]
-        scale = np.concatenate([
-            np.full(X.shape[1], np.sqrt(gammas[g_idx][b]), np.float32)
-            for b, X in enumerate(Xs)
-        ])
+    X_test_dev = None
+    if X_tests is not None:
+        X_test_dev = jnp.asarray(np.concatenate(
+            [np.asarray(X, np.float32) for X in X_tests], axis=1
+        ))
+        y_pred_np = np.empty((X_test_dev.shape[0], V), np.float32)
+    with timer.stage("refit"):
         if chol_refit:
+            from litcoder_core_tpu.models.ridge import lmax_dense
+
+            H = jax.lax.Precision.HIGHEST
+            # G_shared was computed once before the scan (and reused by
+            # its complement path). X^T Y is NOT shared from the scan: the
+            # scan's may run at bf16 scan precision (fast_scan) while the
+            # refit is always full precision.
+            XtY_full = jnp.dot(Xc_j.T, Y_j, precision=H)  # (D, V)
+        for g_idx in np.unique(best_g):
+            sel = np.nonzero(best_g == g_idx)[0]
+            scale = np.concatenate([
+                np.full(X.shape[1], np.sqrt(gammas[g_idx][b]), np.float32)
+                for b, X in enumerate(Xs)
+            ])
             s_vec = jnp.asarray(scale)
-            Gg = G_full * (s_vec[:, None] * s_vec[None, :])
-            s0 = jnp.sqrt(jnp.maximum(lmax_dense(Gg), 0.0))  # normalpha on
-            for a_idx in np.unique(best_a[sel]):
-                vox = sel[best_a[sel] == a_idx]
-                na = jnp.float32(alphas[a_idx]) * s0
-                L = _chol_L(Gg, na)
-                b = _bucket_width(vox.size)
-                # Bucket-pad the gather indices (repeats of the first
-                # voxel; the pad columns are sliced off below).
-                idx = np.full(b, vox[0], np.int32)
-                idx[:vox.size] = vox
-                wg = _chol_solve_gather(L, s_vec, XtY_full,
-                                        jnp.asarray(idx))
-                if y_pred_np is not None:
-                    pred = _predict_group(X_test_dev, s_vec, wg)
-                    y_pred_np[:, vox] = np.asarray(pred)[:, :vox.size]
-                if weights is not None:
-                    # Undo the band scaling so weights apply to RAW
-                    # features: y = (X*sqrt(g)) w  =>  w_raw = sqrt(g) * w.
-                    weights[:, vox] = (np.asarray(wg)[:, :vox.size]
-                                       * scale[:, None])
-            continue
-        Xg = _scale_bands(Xs, gammas[g_idx])
-        # 'chol' names the SEARCH kernel; the refit needs a spectral basis
-        # picked by shape (cf. nested_cv._fit_and_score).
-        svd_method = "auto" if method == "chol" else method
-        svd = ridge_svd(Xg, None, singcutoff=singcutoff, method=svd_method)
-        val = jnp.asarray(best_alphas[sel], jnp.float32)
-        nal = val * svd.S[0] if normalpha else val
-        # Host gather (see above).
-        wt = np.asarray(ridge_fit_from_svd(svd, jnp.asarray(Y_np[:, sel]),
-                                           nal))
-        weights[:, sel] = wt * scale[:, None]
-    refit_stage.__exit__(None, None, None)
+            if chol_refit:
+                Gg = G_shared * (s_vec[:, None] * s_vec[None, :])
+                s0 = jnp.sqrt(jnp.maximum(lmax_dense(Gg), 0.0))  # normalpha
+                for a_idx in np.unique(best_a[sel]):
+                    vox = sel[best_a[sel] == a_idx]
+                    na = jnp.float32(alphas[a_idx]) * s0
+                    L = _chol_L(Gg, na)
+                    b = _bucket_width(vox.size)
+                    # Bucket-pad the gather indices (repeats of the first
+                    # voxel; the pad columns are sliced off below).
+                    idx = np.full(b, vox[0], np.int32)
+                    idx[:vox.size] = vox
+                    wg = _chol_solve_gather(L, s_vec, XtY_full,
+                                            jnp.asarray(idx))
+                    if y_pred_np is not None:
+                        pred = _predict_group(X_test_dev, s_vec, wg)
+                        y_pred_np[:, vox] = np.asarray(pred)[:, :vox.size]
+                    if weights is not None:
+                        # Undo the band scaling so weights apply to RAW
+                        # features: y = (X*sqrt(g)) w => w_raw = sqrt(g)*w.
+                        weights[:, vox] = (np.asarray(wg)[:, :vox.size]
+                                           * scale[:, None])
+                continue
+            Xg = Xc_j * s_vec[None, :]  # == _scale_bands(Xs, gammas[g_idx])
+            # 'chol'/'dual' name SEARCH kernels; the refit needs a spectral
+            # basis picked by shape (cf. nested_cv._fit_and_score).
+            svd_method = "auto" if method in ("chol", "dual") else method
+            svd = ridge_svd(Xg, None, singcutoff=singcutoff,
+                            method=svd_method)
+            val = jnp.asarray(best_alphas[sel], jnp.float32)
+            nal = val * svd.S[0] if normalpha else val
+            # Host gather of the group's responses (Y_j may be mesh-
+            # sharded; the refit statistics run unsharded as documented).
+            wt = ridge_fit_from_svd(svd, jnp.asarray(Y_np[:, sel]), nal)
+            if y_pred_np is not None:
+                pred = _predict_group(X_test_dev, s_vec, wt)
+                y_pred_np[:, sel] = np.asarray(pred)
+            if weights is not None:
+                weights[:, sel] = np.asarray(wt) * scale[:, None]
 
     metrics: Dict = {"best_gammas": best_gammas.tolist()}
     if X_tests is not None and y_test is not None:
-        test_stage = timer.stage("test_scoring")
-        test_stage.__enter__()
-        if y_pred_np is not None:  # chol refit predicted on device
-            y_pred = y_pred_np
-        else:
-            X_test = np.concatenate(
-                [np.asarray(X, np.float32) for X in X_tests], axis=1
-            )
-            y_pred = np.asarray(predict(X_test, weights))
-        corr = np.asarray(pearson_r(jnp.asarray(y_test, jnp.float32),
-                                    jnp.asarray(y_pred)))
-        if significance == "permutation":
-            from litcoder_core_tpu.ops.stats import permutation_pvalues
+        with timer.stage("test_scoring"):
+            y_pred = y_pred_np  # both refits predict on device per group
+            corr = np.asarray(pearson_r(jnp.asarray(y_test, jnp.float32),
+                                        jnp.asarray(y_pred)))
+            if significance == "permutation":
+                from litcoder_core_tpu.ops.stats import permutation_pvalues
 
-            # One key for all voxels: identical null shifts keep the BH
-            # input exchangeable (cf. nested_cv's chunked refit).
-            p_dev, _ = permutation_pvalues(
-                jnp.asarray(y_test, jnp.float32), jnp.asarray(y_pred),
-                jax.random.PRNGKey(seed), n_permutations=n_permutations,
-            )
-            pval = np.asarray(p_dev, np.float64)
-        else:
-            # Decision-grade tails in float64 on host: the device float32
-            # betainc underflows to 0 near |r|=1 at real test lengths,
-            # saturating and reordering BH decisions (cf. nested_cv).
-            pval = pearson_pvalues_f64(corr, y_test.shape[0])
-        significant, corrected = bh_fdrcorrection_np(pval, alpha=alpha_fdr)
-        n_sig = int(significant.sum())
-        metrics.update({
-            "median_score": float(np.median(corr)),
-            "mean_score": float(np.mean(corr)),
-            "std_score": float(np.std(corr)),
-            "min_score": float(np.min(corr)),
-            "max_score": float(np.max(corr)),
-            "correlations": corr.tolist(),
-            "p_values": pval.tolist(),
-            "corrected_p_values": corrected.tolist(),
-            "significant_mask": significant.tolist(),
-            "n_significant": n_sig,
-            "percent_significant": float(n_sig / V * 100),
-            "best_alphas": best_alphas.tolist(),
-        })
-        if significance == "permutation":
-            metrics["significance_method"] = "permutation"
-        test_stage.__exit__(None, None, None)
+                # One key for all voxels: identical null shifts keep the
+                # BH input exchangeable (cf. nested_cv's chunked refit).
+                p_dev, _ = permutation_pvalues(
+                    jnp.asarray(y_test, jnp.float32), jnp.asarray(y_pred),
+                    jax.random.PRNGKey(seed),
+                    n_permutations=n_permutations,
+                )
+                pval = np.asarray(p_dev, np.float64)
+            else:
+                # Decision-grade tails in float64 on host: the device
+                # float32 betainc underflows to 0 near |r|=1 at real test
+                # lengths, saturating and reordering BH decisions (cf.
+                # nested_cv).
+                pval = pearson_pvalues_f64(corr, y_test.shape[0])
+            significant, corrected = bh_fdrcorrection_np(pval,
+                                                         alpha=alpha_fdr)
+            n_sig = int(significant.sum())
+            metrics.update({
+                "median_score": float(np.median(corr)),
+                "mean_score": float(np.mean(corr)),
+                "std_score": float(np.std(corr)),
+                "min_score": float(np.min(corr)),
+                "max_score": float(np.max(corr)),
+                "correlations": corr.tolist(),
+                "p_values": pval.tolist(),
+                "corrected_p_values": corrected.tolist(),
+                "significant_mask": significant.tolist(),
+                "n_significant": n_sig,
+                "percent_significant": float(n_sig / V * 100),
+                "best_alphas": best_alphas.tolist(),
+            })
+            if significance == "permutation":
+                metrics["significance_method"] = "permutation"
         logger.info("Banded ridge: median r = %.3f, %d/%d significant",
                     metrics["median_score"], n_sig, V)
     metrics["stage_seconds"] = timer.report()

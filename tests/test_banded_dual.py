@@ -103,6 +103,22 @@ def test_banded_wide_dual_fast_scan_matches_fp32():
     assert np.allclose(m["correlations"], m_f["correlations"], atol=1e-5)
 
 
+def test_banded_wide_return_weights_false_returns_none():
+    """The spectral refit (wide designs) predicts per group on device, so
+    return_weights=False must return None weights (the documented
+    fit_nested_cv contract) with identical metrics."""
+    Xs, Y, Xts, Yt = _wide_banded_problem()
+    m, w, a, g = fit_banded_ridge(
+        Xs, Y, X_tests=Xts, y_test=Yt, method="auto",
+        return_weights=False, **_kwargs())
+    assert w is None
+    m2, w2, a2, g2 = fit_banded_ridge(
+        Xs, Y, X_tests=Xts, y_test=Yt, method="auto", **_kwargs())
+    assert w2 is not None
+    assert np.array_equal(a, a2)
+    assert np.allclose(m["correlations"], m2["correlations"], atol=1e-5)
+
+
 @needs_mesh
 def test_banded_wide_dual_mesh_invariant():
     """Kbands replicate with Xc; Y's voxel axis only ever row-gathers, so
