@@ -100,15 +100,15 @@ def nested_cv_step(
             "needs a second calibration dispatch, which this single-"
             "program step deliberately avoids)"
         )
-    complement = (method in ("auto", "eigh", "woodbury")
+    complement = (method in ("auto", "eigh", "woodbury", "chol")
                   and train_idx.shape[1] >= X.shape[1])
     if complement and not isinstance(train_idx, jax.core.Tracer):
         complement = _folds_are_complementary(train_idx, val_idx)
-    if method == "woodbury" and not complement:
+    if method in ("woodbury", "chol") and not complement:
         # An explicitly forced fast path must not silently degrade to the
         # per-fold spectral scan (other forced-method mismatches raise too).
         raise ValueError(
-            "method='woodbury' requires complementary equal-size folds "
+            f"method={method!r} requires complementary equal-size folds "
             "with tall training blocks (each fold's train rows = union of "
             "all val rows minus its own, and Ttr >= D); these folds are "
             "ineligible — use method='auto' to fall back automatically"
@@ -144,8 +144,8 @@ def _resolve_scan_method(method: str, complement: bool, alphas,
     spectrum — identical only when the cutoff is below f32 noise."""
     if not complement:
         return "eigh"
-    if method == "woodbury":
-        return "woodbury"
+    if method in ("woodbury", "chol"):
+        return method
     if method == "auto" and normalpha and singcutoff <= 1e-10 \
             and not isinstance(alphas, jax.core.Tracer):
         import numpy as np
@@ -172,9 +172,9 @@ def _nested_cv_step_impl(
     X_test = jnp.asarray(X_test, jnp.float32)
     Y_test = jnp.asarray(Y_test, jnp.float32)
     alphas = jnp.asarray(alphas, jnp.float32)
-    # 'woodbury' names a SCAN kernel, not a spectral method: the refit and
-    # any per-fold spectral fallback must still pick eigh/svd by shape.
-    svd_method = "auto" if method == "woodbury" else method
+    # 'woodbury'/'chol' name SCAN kernels, not spectral methods: the refit
+    # and any per-fold spectral fallback must still pick eigh/svd by shape.
+    svd_method = "auto" if method in ("woodbury", "chol") else method
 
     # --- inner CV: vmapped over folds, whole alpha grid on device ---------
     if complement:
@@ -219,6 +219,50 @@ def _nested_cv_step_impl(
                 return score_alpha_grid_woodbury(lam_u, P, UR0, Yva, nal,
                                                  use_corr=use_corr,
                                                  fast_scan=fast_scan)
+        elif scan == "chol":
+            # ZERO eigensolves anywhere in the scan: per-(fold, alpha)
+            # Cholesky of the downdated Gram with normalpha's S[0] from a
+            # dense Lanczos — the vmapped equal-folds form of
+            # models.nested_cv._find_best_alphas_chol. Eliminates even the
+            # Woodbury path's one union eigh (and its per-fold D x D x V
+            # eigenbasis rotations of X^T Y): eigh runs far off the MXU
+            # roofline, while the Cholesky factors and triangular solves
+            # are blocked matmul work.
+            from litcoder_core_tpu.models.ridge import (
+                _score_predictions,
+                lmax_dense,
+            )
+            from litcoder_core_tpu.ops.stats import zscore
+
+            sp = jax.lax.Precision.DEFAULT if fast_scan else H
+            eye = jnp.eye(X.shape[1], dtype=jnp.float32)
+
+            def one_fold(va, vp):
+                Xva = X[va]
+                Yva = Yu[vp]
+                G = G_union - jnp.dot(Xva.T, Xva, precision=H)
+                # Search-side cross-product joins fast_scan (the refit
+                # recomputes its own at full precision).
+                XtY_tr = XtY_u - jnp.dot(Xva.T, Yva, precision=sp)
+                if normalpha:
+                    s0 = jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0))
+                    nal = alphas * s0
+                else:
+                    nal = alphas
+                zP = zscore(Yva, axis=0)
+                Pvar = jnp.var(Yva, axis=0, ddof=1)
+
+                def one_alpha(na):
+                    L = jnp.linalg.cholesky(G + (na * na) * eye)
+                    Z = jax.scipy.linalg.solve_triangular(
+                        L, Xva.T, lower=True)
+                    Z = jax.scipy.linalg.solve_triangular(
+                        L.T, Z, lower=False)            # (D, Tva)
+                    pred = jnp.dot(Z.T, XtY_tr, precision=sp)
+                    return _score_predictions(pred, Yva, zP, Pvar,
+                                              use_corr)
+
+                return jax.lax.map(one_alpha, nal)
         else:
             def one_fold(va, vp):
                 Xva = X[va]

@@ -48,6 +48,35 @@ def test_step_auto_matches_eigh(problem):
                                np.asarray(r_wb.weights), atol=1e-6)
 
 
+def test_step_chol_scan_matches_eigh(problem):
+    """The fused step's 'chol' scan (per-(fold, alpha) Cholesky of the
+    downdated Gram; no eigensolve anywhere in the scan) must reproduce the
+    eigh scan: identical alpha selection, matching correlations/weights —
+    and fast_scan must not change selection on CPU (fp32 either way)."""
+    X, Y, Xt, Yt, alphas, tr, va = problem
+    r_eigh = nested_cv_step(X, Y, Xt, Yt, alphas, tr, va, method="eigh")
+    r_chol = nested_cv_step(X, Y, Xt, Yt, alphas, tr, va, method="chol")
+    np.testing.assert_array_equal(np.asarray(r_eigh.best_alphas),
+                                  np.asarray(r_chol.best_alphas))
+    np.testing.assert_allclose(np.asarray(r_eigh.correlations),
+                               np.asarray(r_chol.correlations), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_eigh.weights),
+                               np.asarray(r_chol.weights), atol=1e-6)
+    r_fast = nested_cv_step(X, Y, Xt, Yt, alphas, tr, va, method="chol",
+                            fast_scan=True)
+    np.testing.assert_array_equal(np.asarray(r_fast.best_alphas),
+                                  np.asarray(r_chol.best_alphas))
+
+
+def test_step_chol_raises_on_noncomplement_folds(problem):
+    """Forced 'chol' must not silently degrade to the spectral scan (same
+    contract as forced 'woodbury')."""
+    X, Y, Xt, Yt, alphas, tr, va = problem
+    with pytest.raises(ValueError, match="chol"):
+        nested_cv_step(X, Y, Xt, Yt, alphas, tr[:, : tr.shape[1] // 2], va,
+                       method="chol")
+
+
 def test_scan_scores_match_elementwise(problem):
     """The per-(fold, alpha) score CURVES (not just the argmax) agree with
     the eigh formulation to float32 roundoff, for corr and signed-R^2."""
