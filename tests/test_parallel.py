@@ -266,8 +266,11 @@ def test_per_device_shards_scale_inverse_with_mesh(n):
         {(V // n,)}
 
 
-@pytest.mark.parametrize("method", ["eigh", "svd"])
-def test_compiled_sharded_step_has_no_tensor_collectives(method):
+@pytest.mark.parametrize("method,scan", [
+    ("eigh", "eigh"), ("svd", "eigh"),
+    ("woodbury", "woodbury"), ("chol", "chol"),
+])
+def test_compiled_sharded_step_has_no_tensor_collectives(method, scan):
     """The voxel-sharded solve must move NO tensor data between devices:
     per-voxel ridge problems are independent (SURVEY.md §2.4/§5.8). The
     compiled HLO may contain only scalar pred[]/f32[] all-reduces (loop
@@ -280,12 +283,12 @@ def test_compiled_sharded_step_has_no_tensor_collectives(method):
 
     mesh = make_mesh(8)
     X, Y, X_test, Y_test, alphas, tr, va = _sharded_inputs(mesh, V=64)
-    complement = method == "eigh"
+    complement = method != "svd"
     lowered = _nested_cv_step_impl.lower(
         X, Y, X_test, Y_test, alphas, jax.numpy.asarray(tr),
         jax.numpy.asarray(va), normalpha=True, use_corr=True,
         single_alpha=False, singcutoff=1e-10, method=method,
-        complement=complement,
+        complement=complement, scan=scan,
     )
     txt = lowered.compile().as_text()
 
