@@ -614,6 +614,13 @@ def fit_banded_ridge(
         raise ValueError(
             f"fast_scan must be True, False or 'auto', got {fast_scan!r}"
         )
+    if method not in ("auto", "chol", "dual", "eigh", "svd"):
+        # A typo'd method would otherwise fall through every gate and
+        # silently run the per-(gamma, fold) svd fallback.
+        raise ValueError(
+            f"method must be one of 'auto', 'chol', 'dual', 'eigh', "
+            f"'svd'; got {method!r}"
+        )
     if significance not in ("parametric", "permutation"):
         raise ValueError(
             f"significance must be 'parametric' or 'permutation', got "

@@ -1437,6 +1437,13 @@ def fit_nested_cv(
         (metrics, weights (n_features, n_voxels), best_alphas (n_voxels,))
     """
     del use_gpu  # JAX places everything on the best available device
+    if method not in ("auto", "chol", "dual", "eigh", "svd"):
+        # A typo'd method would otherwise fall through every eligibility
+        # gate and silently run the svd scan.
+        raise ValueError(
+            f"method must be one of 'auto', 'chol', 'dual', 'eigh', "
+            f"'svd'; got {method!r}"
+        )
     if significance not in ("parametric", "permutation"):
         raise ValueError(
             f"significance must be 'parametric' or 'permutation', got "

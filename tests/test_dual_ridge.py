@@ -89,6 +89,18 @@ def test_dual_search_eligibility_gates():
     assert not _dual_search_eligible("chol", True, a, wide_folds, 260)
 
 
+def test_unknown_method_raises():
+    """A typo'd method must raise instead of silently running the svd
+    fallback (both the plain and the banded fit)."""
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    X, Y, _, _ = _wide_problem(T=60, D=10, V=4)
+    with pytest.raises(ValueError, match="method must be one of"):
+        fit_nested_cv(X, Y, method="choleski")
+    with pytest.raises(ValueError, match="method must be one of"):
+        fit_banded_ridge([X, X], Y, method="choleski")
+
+
 def _fit_kwargs(**extra):
     kwargs = dict(alphas=np.logspace(-1, 4, 8), n_inner_folds=4, seed=0,
                   chunk_length=10, normalpha=True)
