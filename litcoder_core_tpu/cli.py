@@ -162,6 +162,12 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         dataset_config["trimming"].update(custom_trimming)
         logger.info("Using custom trimming parameters: %s", custom_trimming)
 
+    if config.get("banded") and config.get("stacking"):
+        # Fail fast — before any assembly/data load.
+        raise ValueError("--banded and --stacking are mutually exclusive "
+                         "(feature-level joint fit vs prediction-level "
+                         "blend)")
+
 
     if config.get("assembly_path"):
         assembly = load_assembly(config["assembly_path"])
@@ -197,32 +203,50 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         f"{datetime.now().strftime('%Y%m%d-%H%M%S')}"
     )
     banded = bool(config.get("banded"))
-    if banded:
-        # Joint multi-space fitting: one band per modality, per-voxel
-        # (gamma, alpha) selection (models.banded). Requires the train/test
-        # structuring (last story held out).
+    stacking = bool(config.get("stacking"))  # exclusivity checked above
+    multi_space = banded or stacking
+    if multi_space:
+        mode = "--banded" if banded else "--stacking"
+        # Joint multi-space fitting: one space per modality. Requires the
+        # train/test structuring (last story held out).
         if not dataset_config["use_train_test_split"]:
             raise ValueError(
-                "--banded requires a train/test-split dataset preset "
+                f"{mode} requires a train/test-split dataset preset "
                 "(lebel); LPP/narratives use concatenated full-CV "
-                "structuring, which banded ridge does not support"
+                "structuring, which multi-space models do not support"
             )
-        # Refuse flags banded ridge cannot honor rather than dropping them
-        # silently (banded has no DataNormalizer hook; per-voxel
-        # (gamma, alpha) selection is inherent, so --no_single_alpha is
-        # the only — and default — behavior).
+        # Refuse flags the multi-space models cannot honor rather than
+        # dropping them silently (no DataNormalizer hook; per-voxel
+        # selection is inherent, so --no_single_alpha is the only — and
+        # default — behavior).
         if config.get("normalize_features") or config.get(
                 "normalize_targets"):
             raise ValueError(
                 "--normalize_features/--normalize_targets are not "
-                "supported with --banded (banded ridge has no "
-                "DataNormalizer hook)"
+                f"supported with {mode} (no DataNormalizer hook)"
             )
+    if banded:
         from litcoder_core_tpu.models.banded import BandedRidgeModel
 
         model = BandedRidgeModel(seed=config.get("seed", 0),
                                  n_gammas=config.get("n_gammas", 10),
                                  n_devices=config.get("n_devices"))
+    elif stacking:
+        if config.get("n_devices"):
+            raise ValueError(
+                "--n_devices is not supported with --stacking (the "
+                "per-voxel blend runs unsharded; the per-space fits are "
+                "already single-dispatch device programs)"
+            )
+        if config.get("fast_scan") or \
+                config.get("significance", "parametric") != "parametric":
+            raise ValueError(
+                "--fast_scan/--significance are not supported with "
+                "--stacking"
+            )
+        from litcoder_core_tpu.models.stacking import StackedRidgeModel
+
+        model = StackedRidgeModel(seed=config.get("seed", 0))
     else:
         model = NestedCVModel(model_name="ridge_regression",
                               seed=config.get("seed", 0),
@@ -244,9 +268,19 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         run_name=run_name,
         downsample_config=downsample_config,
         story_selection=story_selection,
-        concat_features=not banded,
+        concat_features=not multi_space,
     )
-    if banded:
+    if stacking:
+        train_kwargs = dict(
+            folding_type=config["folding_type"],
+            n_inner_folds=config["n_inner_folds"],
+            chunk_length=config["chunk_length"],
+            singcutoff=config["singcutoff"],
+            normalpha=True,
+            use_corr=True,
+            seed=config.get("seed", 0),
+        )
+    elif banded:
         train_kwargs = dict(
             folding_type=config["folding_type"],
             n_inner_folds=config["n_inner_folds"],
@@ -343,6 +377,11 @@ def parse_args(argv=None):
     parser.add_argument("--n_gammas", type=int, default=10,
                         help="Banded ridge: number of candidate band-"
                              "variance vectors (row 0 is always uniform)")
+    parser.add_argument("--stacking", action="store_true",
+                        help="Stacked regression: one ridge model per "
+                             "modality, per-voxel simplex blend of their "
+                             "predictions (StackedRidgeModel); requires a "
+                             "train/test-split dataset (lebel)")
     parser.add_argument("--seed", type=int, default=0)
     # Preprocessing
     parser.add_argument("--downsample_method", type=str, default="lanczos")

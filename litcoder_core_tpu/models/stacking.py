@@ -235,3 +235,19 @@ def fit_stacked_ridge(
             ["%.3f" % float(np.median(p)) for p in per_space], n_sig, V,
         )
     return metrics, stack_weights, np.stack(all_alphas)
+
+
+class StackedRidgeModel:
+    """Object API over fit_stacked_ridge, mirroring BandedRidgeModel:
+    fit_predict takes feature SPACES and returns
+    (metrics, stack_weights (V, S), best_alphas (S, V))."""
+
+    def __init__(self, model_name: str = "stacked_ridge", seed: int = 0):
+        self.model_name = model_name
+        self.seed = seed
+
+    def fit_predict(self, feature_spaces, targets, X_tests=None,
+                    y_test=None, **kwargs):
+        kwargs.setdefault("seed", self.seed)
+        return fit_stacked_ridge(feature_spaces, targets, X_tests=X_tests,
+                                 y_test=y_test, **kwargs)

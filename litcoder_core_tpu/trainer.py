@@ -455,14 +455,15 @@ class AbstractTrainer:
         banded = "Rstim" in data and isinstance(data["Rstim"], list)
         with timer.stage("fit_predict"):
             if banded:
-                # Banded model API: feature SPACES, train/test mode only.
-                metrics, weights, best_alphas, _gammas = (
-                    self.model.fit_predict(
-                        data["Rstim"], data["Rresp"],
-                        X_tests=data["Pstim"], y_test=data["Presp"],
-                        **model_kwargs,
-                    )
+                # Multi-space model API (banded OR stacked): feature
+                # SPACES, train/test mode only. Banded returns a 4-tuple
+                # (..., best_gammas); stacked returns 3.
+                out = self.model.fit_predict(
+                    data["Rstim"], data["Rresp"],
+                    X_tests=data["Pstim"], y_test=data["Presp"],
+                    **model_kwargs,
                 )
+                metrics, weights, best_alphas = out[:3]
             elif "Rstim" in data:
                 metrics, weights, best_alphas = self.model.fit_predict(
                     features=data["Rstim"], targets=data["Rresp"],
