@@ -16,11 +16,13 @@ space's share of the voxel's explained signal (they sum to one), unlike
 raw regression coefficients.
 
 TPU formulation: the per-voxel QP is tiny (S = 2-5 spaces), so the data
-enters only through A = P^T P (S, S) and b = P^T y (S,) per voxel — one
-pass of MXU matmuls builds every voxel's QP, then a fixed-iteration
-projected-gradient loop (Duchi et al. 2008 simplex projection, a sort over
-S elements) runs vmapped across voxels entirely on device. No per-voxel
-host loops, no data-dependent control flow.
+enters only through A = P^T P (S, S) and b = P^T y (S,) per voxel — MXU
+matmuls build every voxel's QP, accumulated FOLD BY FOLD so no (S, T, V)
+out-of-fold stack ever exists (peak extra memory is one fold's (S, Tva, V)
+predictions — whole-brain-safe). A fixed-iteration projected-gradient loop
+(Duchi et al. 2008 simplex projection, a sort over S elements) then runs
+vmapped across voxels entirely on device. No per-voxel host loops, no
+data-dependent control flow.
 """
 
 import logging
@@ -83,17 +85,12 @@ def simplex_lsq(A, b, n_iter: int = 300):
     return jax.lax.fori_loop(0, n_iter, body, w0)
 
 
-def _oof_and_test_predictions(X, Y_j, fold_splits, alphas, normalpha,
-                              use_corr, singcutoff, method, X_test):
-    """One feature space's out-of-fold training predictions (T, V) and
-    (optionally) its full-train-refit test predictions (Tp, V).
-
-    Per-voxel alphas are selected ONCE for the space by the shared inner-CV
-    search (the same eigensolve-free paths as fit_nested_cv, incl. the
-    dual kernel form for wide spaces), then each fold refits on its train
-    rows and predicts its validation rows, so every training row's
-    prediction comes from a model that never saw it."""
-    T = X.shape[0]
+def _space_alphas_and_test(X, Y_j, fold_splits, alphas, normalpha,
+                           use_corr, singcutoff, method, X_test):
+    """One feature space's per-voxel alphas (shared inner-CV search — the
+    same eigensolve-free paths as fit_nested_cv, incl. the dual kernel
+    form for wide spaces) and, optionally, its full-train-refit test
+    predictions (Tp, V)."""
     best = _find_best_alphas(
         jnp.asarray(X, jnp.float32), Y_j, fold_splits,
         np.asarray(alphas, np.float32), single_alpha=False,
@@ -101,23 +98,6 @@ def _oof_and_test_predictions(X, Y_j, fold_splits, alphas, normalpha,
         voxel_chunk_size=None, method=method,
     )
     best_j = jnp.asarray(best, jnp.float32)
-    oof = jnp.zeros((T, Y_j.shape[1]), jnp.float32)
-    covered = np.zeros(T, bool)
-    for tr, va in fold_splits:
-        svd = ridge_svd(jnp.asarray(X, jnp.float32)[tr], None,
-                        singcutoff=singcutoff,
-                        method="auto" if method in ("chol", "dual")
-                        else method)
-        nal = best_j * svd.S[0] if normalpha else best_j
-        wt = ridge_fit_from_svd(svd, Y_j[tr], nal)
-        oof = oof.at[va].set(predict(jnp.asarray(X, jnp.float32)[va], wt))
-        covered[va] = True
-    if not covered.all():
-        # Rows in no validation fold (e.g. chunked remainders) carry no
-        # out-of-fold prediction; exclude them from the stacking QP.
-        logger.info("stacking: %d/%d training rows outside all validation "
-                    "folds are excluded from the blend fit",
-                    int((~covered).sum()), T)
     y_pred_test = None
     if X_test is not None:
         svd_full = ridge_svd(jnp.asarray(X, jnp.float32), None,
@@ -127,15 +107,19 @@ def _oof_and_test_predictions(X, Y_j, fold_splits, alphas, normalpha,
         nal = best_j * svd_full.S[0] if normalpha else best_j
         wt = ridge_fit_from_svd(svd_full, Y_j, nal)
         y_pred_test = predict(jnp.asarray(X_test, jnp.float32), wt)
-    return oof, covered, y_pred_test, np.asarray(best)
+    return best_j, y_pred_test, np.asarray(best)
 
 
 @jax.jit
-def _stack_qp_terms(P, Y):
-    """A (V, S, S) and b (V, S) from per-space predictions P (S, T, V) and
-    responses Y (T, V) — the only pass over the full data."""
-    A = jnp.einsum("itv,jtv->vij", P, P, precision=_HIGHEST)
-    b = jnp.einsum("itv,tv->vi", P, Y, precision=_HIGHEST)
+def _stack_qp_terms_fold(P_f, Y_f):
+    """One fold's contribution to A (V, S, S) and b (V, S) from its
+    out-of-fold predictions P_f (S, Tva, V) and responses Y_f (Tva, V).
+    Accumulating per fold (the validation sets are disjoint, so the fold
+    sums equal the concatenated-OOF Grams exactly) keeps peak memory at
+    one fold's (S, Tva, V) predictions instead of an (S, T, V) stack —
+    the difference between fitting whole-brain V on one chip and not."""
+    A = jnp.einsum("itv,jtv->vij", P_f, P_f, precision=_HIGHEST)
+    b = jnp.einsum("itv,tv->vi", P_f, Y_f, precision=_HIGHEST)
     return A, b
 
 
@@ -187,21 +171,44 @@ def fit_stacked_ridge(
     fold_splits = create_folds(T, folding_type, n_inner_folds,
                                chunk_length, seed=seed)
 
-    oofs, tests, all_alphas = [], [], []
-    covered = None
+    best_js, tests, all_alphas = [], [], []
     for s, X in enumerate(Xs):
-        oof, cov, y_pred_t, best = _oof_and_test_predictions(
+        best_j, y_pred_t, best = _space_alphas_and_test(
             X, Y_j, fold_splits, alphas, normalpha, use_corr, singcutoff,
             method, None if X_tests is None else X_tests[s],
         )
-        oofs.append(oof)
+        best_js.append(best_j)
         tests.append(y_pred_t)
         all_alphas.append(best)
-        covered = cov if covered is None else (covered & cov)
 
-    rows = jnp.asarray(np.nonzero(covered)[0])
-    P = jnp.stack(oofs)[:, rows]                     # (S, Tc, V)
-    A, b = _stack_qp_terms(P, Y_j[rows])
+    # Per-fold accumulation of the QP terms: each fold refits every space
+    # on its train rows (per-voxel alphas fixed by the space's own search)
+    # and predicts its validation rows — out-of-fold by construction.
+    S = len(Xs)
+    A = jnp.zeros((V, S, S), jnp.float32)
+    b = jnp.zeros((V, S), jnp.float32)
+    svd_method = "auto" if method in ("chol", "dual") else method
+    n_rows_used = 0
+    for tr, va in fold_splits:
+        preds = []
+        for s, X in enumerate(Xs):
+            X_j = jnp.asarray(X, jnp.float32)
+            svd = ridge_svd(X_j[tr], None, singcutoff=singcutoff,
+                            method=svd_method)
+            nal = (best_js[s] * svd.S[0] if normalpha else best_js[s])
+            wt = ridge_fit_from_svd(svd, Y_j[tr], nal)
+            preds.append(predict(X_j[va], wt))
+        P_f = jnp.stack(preds)                       # (S, Tva, V)
+        dA, db = _stack_qp_terms_fold(P_f, Y_j[va])
+        A = A + dA
+        b = b + db
+        n_rows_used += len(va)
+    if n_rows_used < T:
+        # Rows in no validation fold (e.g. chunked remainders) carry no
+        # out-of-fold prediction; they simply never enter the QP sums.
+        logger.info("stacking: %d/%d training rows outside all validation "
+                    "folds are excluded from the blend fit",
+                    T - n_rows_used, T)
     w = simplex_lsq(A, b, n_iter=n_iter)             # (V, S)
     stack_weights = np.asarray(w)
 
