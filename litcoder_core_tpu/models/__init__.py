@@ -13,7 +13,10 @@ from litcoder_core_tpu.models.banded import BandedRidgeModel, fit_banded_ridge
 from litcoder_core_tpu.models.variance_partition import (
     variance_partitioning,
 )
-from litcoder_core_tpu.models.stacking import fit_stacked_ridge
+from litcoder_core_tpu.models.stacking import (
+    StackedRidgeModel,
+    fit_stacked_ridge,
+)
 from litcoder_core_tpu.models.linear import LinearPredictivityModel
 from litcoder_core_tpu.models.sklearn_model import SklearnPredictivityModel
 from litcoder_core_tpu.models.normalizer import DataNormalizer
@@ -30,6 +33,7 @@ __all__ = [
     "BandedRidgeModel",
     "fit_banded_ridge",
     "variance_partitioning",
+    "StackedRidgeModel",
     "fit_stacked_ridge",
     "LinearPredictivityModel",
     "SklearnPredictivityModel",

@@ -19,10 +19,17 @@ TPU formulation: the per-voxel QP is tiny (S = 2-5 spaces), so the data
 enters only through A = P^T P (S, S) and b = P^T y (S,) per voxel — MXU
 matmuls build every voxel's QP, accumulated FOLD BY FOLD so no (S, T, V)
 out-of-fold stack ever exists (peak extra memory is one fold's (S, Tva, V)
-predictions — whole-brain-safe). A fixed-iteration projected-gradient loop
-(Duchi et al. 2008 simplex projection, a sort over S elements) then runs
+predictions — whole-brain-safe). A fixed-iteration accelerated
+projected-gradient loop (FISTA with the exact per-voxel Lipschitz step;
+Duchi et al. 2008 simplex projection, a sort over S elements) then runs
 vmapped across voxels entirely on device. No per-voxel host loops, no
-data-dependent control flow.
+data-dependent control flow inside the solver.
+
+The out-of-fold refits are eigensolve-free under the standard gates
+(normalpha, min(alpha) >= 0.03, singcutoff <= 1e-10, tall spaces): voxels
+group by their selected alpha and each group is one Cholesky solve against
+a bucket-padded slice of X^T Y (the same trick as the banded grouped
+refit) — no per-(fold, space) spectral factorizations on the hot path.
 """
 
 import logging
@@ -34,8 +41,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from litcoder_core_tpu.models.folding import create_folds
-from litcoder_core_tpu.models.nested_cv import _find_best_alphas
+from litcoder_core_tpu.models.nested_cv import (
+    _create_metrics_dict,
+    _find_best_alphas,
+)
 from litcoder_core_tpu.models.ridge import (
+    lmax_dense,
     ridge_fit_from_svd,
     ridge_svd,
     predict,
@@ -66,33 +77,91 @@ def project_simplex(v):
 
 
 @partial(jax.jit, static_argnames=("n_iter",))
-def simplex_lsq(A, b, n_iter: int = 300):
+def simplex_lsq(A, b, n_iter: int = 1500):
     """Batched min_w ||y - P w||^2 on the simplex from A = P^T P (V, S, S)
-    and b = P^T y (V, S): projected gradient with the per-voxel Lipschitz
-    step 1/trace(A) (trace >= lambda_max for PSD A, so the step is always
-    stable). Fixed iteration count keeps the program static; for S <= 5
-    and correlated predictors PGD converges to float32 tolerance well
-    inside 300 steps."""
+    and b = P^T y (V, S): FISTA (Nesterov-accelerated projected gradient)
+    with the exact per-voxel Lipschitz step 1/lambda_max(A) — the batched
+    (S, S) eigvalsh is negligible for S <= 5.
+
+    Acceleration and the exact step matter here: feature spaces whose
+    predictions correlate highly (adjacent LM layers reach r > 0.99) make
+    these QPs ill-conditioned, and plain projected gradient with a trace
+    step left the WEIGHTS — the feature's headline, interpretable output —
+    up to ~0.2 from the optimum at the objective's flat bottom. The
+    default iteration count is locked against scipy's SLSQP on exactly
+    such correlated problems (tests/test_stacking.py)."""
     s = A.shape[-1]
-    tr = jnp.trace(A, axis1=-2, axis2=-1)
-    step = 1.0 / jnp.maximum(tr, 1e-12)                     # (V,)
-    w0 = jnp.full(A.shape[:-1], 1.0 / s, A.dtype)           # (V, S)
+    lmax = jnp.linalg.eigvalsh(A)[..., -1]                  # (V,)
+    step = 1.0 / jnp.maximum(lmax, 1e-12)
+    w0 = jnp.full(A.shape[:-1], 1.0 / s, A.dtype)
 
-    def body(_, w):
-        grad = jnp.einsum("vij,vj->vi", A, w) - b
-        return project_simplex(w - step[:, None] * grad)
+    def body(_, carry):
+        w_prev, z, t = carry
+        grad = jnp.einsum("vij,vj->vi", A, z) - b
+        w = project_simplex(z - step[:, None] * grad)
+        t_next = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z = w + ((t - 1.0) / t_next) * (w - w_prev)
+        return (w, z, t_next)
 
-    return jax.lax.fori_loop(0, n_iter, body, w0)
+    w, _, _ = jax.lax.fori_loop(
+        0, n_iter, body, (w0, w0, jnp.float32(1.0))
+    )
+    return w
 
 
-def _space_alphas_and_test(X, Y_j, fold_splits, alphas, normalpha,
+def _bucket_width(n: int, minimum: int = 128) -> int:
+    """Power-of-2 bucket for refit-group gathers (jit-signature reuse;
+    cf. models.banded._bucket_width)."""
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
+def _chol_pred_group(G, XtY, Xva, idx, na):
+    """One (fold, space, alpha-group) out-of-fold prediction (Tva, bucket):
+    Xva (G + na^2 I)^-1 (X^T Y)[:, idx] via Cholesky — exact ridge for
+    na > 0, no eigendecomposition."""
+    eye = jnp.eye(G.shape[0], dtype=jnp.float32)
+    L = jnp.linalg.cholesky(G + (na * na) * eye)
+    Z = jax.scipy.linalg.solve_triangular(L, XtY[:, idx], lower=True)
+    Z = jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
+    return jnp.dot(Xva, Z, precision=_HIGHEST)
+
+
+def _oof_fold_pred_chol(X_j, Y_j, tr, va, best: np.ndarray,
+                        normalpha: bool):
+    """(Tva, V) out-of-fold predictions for one (fold, space) with voxels
+    grouped by selected alpha — one Cholesky per distinct alpha (the
+    eigensolve-free twin of the spectral per-voxel-alpha refit; cf.
+    CLAUDE.md: eigh is the TPU wall-clock villain)."""
+    Xtr = X_j[tr]
+    G = jnp.dot(Xtr.T, Xtr, precision=_HIGHEST)
+    XtY = jnp.dot(Xtr.T, Y_j[tr], precision=_HIGHEST)
+    Xva = X_j[va]
+    s0 = (jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0)) if normalpha
+          else jnp.float32(1.0))
+    pred = jnp.zeros((len(va), Y_j.shape[1]), jnp.float32)
+    for a in np.unique(best):
+        vox = np.nonzero(best == a)[0]
+        bkt = _bucket_width(vox.size)
+        idx = np.full(bkt, vox[0], np.int32)
+        idx[:vox.size] = vox
+        pg = _chol_pred_group(G, XtY, Xva, jnp.asarray(idx),
+                              jnp.float32(a) * s0)
+        pred = pred.at[:, vox].set(pg[:, :vox.size])
+    return pred
+
+
+def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
                            use_corr, singcutoff, method, X_test):
     """One feature space's per-voxel alphas (shared inner-CV search — the
     same eigensolve-free paths as fit_nested_cv, incl. the dual kernel
     form for wide spaces) and, optionally, its full-train-refit test
     predictions (Tp, V)."""
     best = _find_best_alphas(
-        jnp.asarray(X, jnp.float32), Y_j, fold_splits,
+        X_j, Y_j, fold_splits,
         np.asarray(alphas, np.float32), single_alpha=False,
         normalpha=normalpha, use_corr=use_corr, singcutoff=singcutoff,
         voxel_chunk_size=None, method=method,
@@ -100,8 +169,7 @@ def _space_alphas_and_test(X, Y_j, fold_splits, alphas, normalpha,
     best_j = jnp.asarray(best, jnp.float32)
     y_pred_test = None
     if X_test is not None:
-        svd_full = ridge_svd(jnp.asarray(X, jnp.float32), None,
-                             singcutoff=singcutoff,
+        svd_full = ridge_svd(X_j, None, singcutoff=singcutoff,
                              method="auto" if method in ("chol", "dual")
                              else method)
         nal = best_j * svd_full.S[0] if normalpha else best_j
@@ -138,7 +206,7 @@ def fit_stacked_ridge(
     singcutoff: float = 1e-10,
     seed: int = 0,
     method: str = "auto",
-    n_iter: int = 300,
+    n_iter: int = 1500,
 ) -> Tuple[Dict, np.ndarray, np.ndarray]:
     """Stacked ridge across feature spaces with per-voxel simplex weights.
 
@@ -150,9 +218,9 @@ def fit_stacked_ridge(
     Returns:
         (metrics, stack_weights (V, S), best_alphas (S, V)).
         metrics mirrors the train/test nested-CV dict (when a test set is
-        given) plus 'stack_weights' and per-space test correlations
-        'per_space_test_r' — so the stacked r is directly comparable to
-        each space alone.
+        given; 'best_alphas' holds the per-space (S, V) selections) plus
+        'stack_weights' and per-space test correlations 'per_space_test_r'
+        — so the stacked r is directly comparable to each space alone.
     """
     if method not in ("auto", "chol", "dual", "eigh", "svd"):
         raise ValueError(
@@ -163,18 +231,48 @@ def fit_stacked_ridge(
         raise ValueError("stacking needs >= 2 feature spaces")
     if (X_tests is None) != (y_test is None):
         raise ValueError("X_tests and y_test must be given together")
-    if alphas is None:
-        alphas = np.logspace(-1, 8, 10)
     T = Xs[0].shape[0]
     V = Y.shape[1]
+    # Mismatched row counts would otherwise be SILENTLY clamped by JAX's
+    # out-of-bounds gather semantics inside the fold refits — garbage
+    # blends with no error (banded gets this check for free from its
+    # concatenate).
+    for s, X in enumerate(Xs):
+        if X.shape[0] != T or Y.shape[0] != T:
+            raise ValueError(
+                f"feature space {s} has {X.shape[0]} rows; expected "
+                f"{T} (= Y rows {Y.shape[0]})"
+            )
+    if X_tests is not None:
+        if len(X_tests) != len(Xs):
+            raise ValueError(
+                f"{len(X_tests)} test spaces for {len(Xs)} train spaces"
+            )
+        for s, Xt in enumerate(X_tests):
+            if Xt.shape[0] != y_test.shape[0]:
+                raise ValueError(
+                    f"test space {s} has {Xt.shape[0]} rows; y_test has "
+                    f"{y_test.shape[0]}"
+                )
+            if Xt.shape[1] != Xs[s].shape[1]:
+                raise ValueError(
+                    f"test space {s} has {Xt.shape[1]} features; train "
+                    f"space has {Xs[s].shape[1]}"
+                )
+    if alphas is None:
+        alphas = np.logspace(-1, 8, 10)
     Y_j = jnp.asarray(Y, jnp.float32)
+    # One host->device transfer per space, reused by the search, every
+    # fold refit, and the full-train refit (transfers over the tunneled
+    # TPU link are slow; cf. CLAUDE.md).
+    Xs_j = [jnp.asarray(X, jnp.float32) for X in Xs]
     fold_splits = create_folds(T, folding_type, n_inner_folds,
                                chunk_length, seed=seed)
 
     best_js, tests, all_alphas = [], [], []
-    for s, X in enumerate(Xs):
+    for s, X_j in enumerate(Xs_j):
         best_j, y_pred_t, best = _space_alphas_and_test(
-            X, Y_j, fold_splits, alphas, normalpha, use_corr, singcutoff,
+            X_j, Y_j, fold_splits, alphas, normalpha, use_corr, singcutoff,
             method, None if X_tests is None else X_tests[s],
         )
         best_js.append(best_j)
@@ -184,20 +282,34 @@ def fit_stacked_ridge(
     # Per-fold accumulation of the QP terms: each fold refits every space
     # on its train rows (per-voxel alphas fixed by the space's own search)
     # and predicts its validation rows — out-of-fold by construction.
+    # Grouped-Cholesky refits under the standard exactness gates (see
+    # module docstring), per-(fold, space) spectral factorization
+    # otherwise.
+    min_tr = min(len(tr) for tr, _ in fold_splits)
+    a_np = np.asarray(alphas)
+    chol_oof = (
+        method in ("auto", "chol", "dual") and normalpha
+        and singcutoff <= 1e-10 and a_np.size
+        and float(a_np.min()) >= 0.03
+        and all(X.shape[1] <= min_tr for X in Xs)
+    )
+    svd_method = "auto" if method in ("chol", "dual") else method
     S = len(Xs)
     A = jnp.zeros((V, S, S), jnp.float32)
     b = jnp.zeros((V, S), jnp.float32)
-    svd_method = "auto" if method in ("chol", "dual") else method
     n_rows_used = 0
     for tr, va in fold_splits:
         preds = []
-        for s, X in enumerate(Xs):
-            X_j = jnp.asarray(X, jnp.float32)
-            svd = ridge_svd(X_j[tr], None, singcutoff=singcutoff,
-                            method=svd_method)
-            nal = (best_js[s] * svd.S[0] if normalpha else best_js[s])
-            wt = ridge_fit_from_svd(svd, Y_j[tr], nal)
-            preds.append(predict(X_j[va], wt))
+        for s, X_j in enumerate(Xs_j):
+            if chol_oof:
+                preds.append(_oof_fold_pred_chol(
+                    X_j, Y_j, tr, va, all_alphas[s], normalpha))
+            else:
+                svd = ridge_svd(X_j[tr], None, singcutoff=singcutoff,
+                                method=svd_method)
+                nal = (best_js[s] * svd.S[0] if normalpha else best_js[s])
+                wt = ridge_fit_from_svd(svd, Y_j[tr], nal)
+                preds.append(predict(X_j[va], wt))
         P_f = jnp.stack(preds)                       # (S, Tva, V)
         dA, db = _stack_qp_terms_fold(P_f, Y_j[va])
         A = A + dA
@@ -211,6 +323,7 @@ def fit_stacked_ridge(
                     T - n_rows_used, T)
     w = simplex_lsq(A, b, n_iter=n_iter)             # (V, S)
     stack_weights = np.asarray(w)
+    best_alphas = np.stack(all_alphas)               # (S, V)
 
     metrics: Dict = {"stack_weights": stack_weights.tolist()}
     if X_tests is not None:
@@ -221,27 +334,18 @@ def fit_stacked_ridge(
         per_space = [np.asarray(pearson_r(y_test_j, p)) for p in P_test]
         pval = pearson_pvalues_f64(corr, y_test.shape[0])
         significant, corrected = bh_fdrcorrection_np(pval, alpha=alpha_fdr)
-        n_sig = int(significant.sum())
-        metrics.update({
-            "median_score": float(np.median(corr)),
-            "mean_score": float(np.mean(corr)),
-            "std_score": float(np.std(corr)),
-            "min_score": float(np.min(corr)),
-            "max_score": float(np.max(corr)),
-            "correlations": corr.tolist(),
-            "p_values": pval.tolist(),
-            "corrected_p_values": corrected.tolist(),
-            "significant_mask": significant.tolist(),
-            "n_significant": n_sig,
-            "percent_significant": float(n_sig / V * 100),
-            "per_space_test_r": [p.tolist() for p in per_space],
-        })
+        metrics.update(_create_metrics_dict(
+            corr, pval, corrected, significant, best_alphas,
+            int(significant.sum()),
+        ))
+        metrics["per_space_test_r"] = [p.tolist() for p in per_space]
         logger.info(
             "stacked ridge: median r = %.3f (spaces alone: %s), %d/%d "
             "significant", metrics["median_score"],
-            ["%.3f" % float(np.median(p)) for p in per_space], n_sig, V,
+            ["%.3f" % float(np.median(p)) for p in per_space],
+            metrics["n_significant"], V,
         )
-    return metrics, stack_weights, np.stack(all_alphas)
+    return metrics, stack_weights, best_alphas
 
 
 class StackedRidgeModel:

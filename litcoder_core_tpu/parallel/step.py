@@ -100,6 +100,14 @@ def nested_cv_step(
             "needs a second calibration dispatch, which this single-"
             "program step deliberately avoids)"
         )
+    if method not in ("auto", "chol", "dual", "eigh", "svd", "woodbury"):
+        # A typo'd method would otherwise fall through the complement
+        # gates and silently run the per-fold svd scan (cf. the same
+        # check in fit_nested_cv / fit_banded_ridge).
+        raise ValueError(
+            f"method must be one of 'auto', 'chol', 'dual', 'eigh', "
+            f"'svd', 'woodbury'; got {method!r}"
+        )
     complement = (method in ("auto", "eigh", "woodbury", "chol")
                   and train_idx.shape[1] >= X.shape[1])
     if complement and not isinstance(train_idx, jax.core.Tracer):

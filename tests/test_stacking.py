@@ -42,28 +42,54 @@ def test_project_simplex_already_feasible_is_identity():
     np.testing.assert_allclose(np.asarray(project_simplex(v)), v, atol=1e-6)
 
 
-def test_simplex_lsq_matches_scipy():
+def _slsqp_weights(A, b):
     from scipy.optimize import minimize
 
+    S = A.shape[-1]
+    out = np.zeros((A.shape[0], S))
+    for v in range(A.shape[0]):
+        def obj(x, v=v):
+            return 0.5 * x @ A[v] @ x - b[v] @ x
+
+        out[v] = minimize(
+            obj, np.full(S, 1.0 / S), method="SLSQP",
+            bounds=[(0, 1)] * S,
+            constraints={"type": "eq", "fun": lambda x: x.sum() - 1},
+        ).x
+    return out
+
+
+def test_simplex_lsq_matches_scipy():
     S, V, T = 3, 12, 60
     P = rng.normal(size=(V, T, S))
     y = rng.normal(size=(V, T))
     A = np.einsum("vti,vtj->vij", P, P).astype(np.float32)
     b = np.einsum("vti,vt->vi", P, y).astype(np.float32)
-    w = np.asarray(simplex_lsq(A, b, n_iter=2000))
+    w = np.asarray(simplex_lsq(A, b))  # DEFAULT iteration budget
     assert np.allclose(w.sum(axis=1), 1.0, atol=1e-4) and (w >= -1e-6).all()
-
+    ref = _slsqp_weights(A.astype(np.float64), b.astype(np.float64))
     for v in range(V):
-        def obj(x, v=v):
-            return 0.5 * x @ A[v] @ x - b[v] @ x
-
-        ref = minimize(
-            obj, np.full(S, 1.0 / S), method="SLSQP",
-            bounds=[(0, 1)] * S,
-            constraints={"type": "eq", "fun": lambda x: x.sum() - 1},
-        )
+        got = 0.5 * w[v] @ A[v] @ w[v] - b[v] @ w[v]
+        want = 0.5 * ref[v] @ A[v] @ ref[v] - b[v] @ ref[v]
         # Compare objectives (minimizers may be non-unique).
-        assert obj(w[v]) <= ref.fun + 1e-3 * max(1.0, abs(ref.fun))
+        assert got <= want + 1e-3 * max(1.0, abs(want))
+
+
+def test_simplex_lsq_default_converges_on_correlated_spaces():
+    """The WEIGHTS (not just the objective) must be near the QP optimum at
+    the DEFAULT iteration budget even when the spaces' predictions are
+    highly correlated (adjacent LM layers reach r > 0.99) — the regime
+    where plain trace-step PGD demonstrably under-converged."""
+    S, V, T = 3, 25, 200
+    base = rng.normal(size=(V, T))
+    P = np.stack([base + 0.05 * rng.normal(size=(V, T))
+                  for _ in range(S)], axis=-1)       # pairwise r ~ 0.999
+    y = base + rng.normal(size=(V, T))
+    A = np.einsum("vti,vtj->vij", P, P).astype(np.float32)
+    b = np.einsum("vti,vt->vi", P, y).astype(np.float32)
+    w = np.asarray(simplex_lsq(A, b))  # DEFAULT n_iter
+    ref = _slsqp_weights(A.astype(np.float64), b.astype(np.float64))
+    assert np.abs(w - ref).max() < 0.03
 
 
 def _two_space_problem(T=300, Tp=80, D1=20, D2=24, V=30, noise=1.0):
@@ -125,3 +151,24 @@ def test_stacking_validation_errors():
         fit_stacked_ridge(Xs, Y, X_tests=Xts)
     with pytest.raises(ValueError, match="method must be"):
         fit_stacked_ridge(Xs, Y, method="nope")
+    # Mismatched rows would be SILENTLY clamped by JAX gathers otherwise.
+    with pytest.raises(ValueError, match="rows"):
+        fit_stacked_ridge([Xs[0], Xs[1][:-5]], Y)
+    with pytest.raises(ValueError, match="test space"):
+        fit_stacked_ridge(Xs, Y, X_tests=[Xts[0], Xts[1][:-3]], y_test=Yt)
+    with pytest.raises(ValueError, match="test spaces"):
+        fit_stacked_ridge(Xs, Y, X_tests=Xts[:1], y_test=Yt)
+
+
+def test_stacking_chol_oof_matches_spectral():
+    """The grouped-Cholesky out-of-fold refits (default gates) must
+    reproduce the spectral per-(fold, space) path: method='eigh' disables
+    the chol gate, everything else identical."""
+    Xs, Y, Xts, Yt = _two_space_problem()
+    kw = dict(X_tests=Xts, y_test=Yt, alphas=np.logspace(-1, 5, 6),
+              n_inner_folds=4, chunk_length=10, seed=0)
+    m_a, w_a, a_a = fit_stacked_ridge(Xs, Y, method="auto", **kw)
+    m_e, w_e, a_e = fit_stacked_ridge(Xs, Y, method="eigh", **kw)
+    assert np.array_equal(a_a, a_e)
+    assert np.abs(w_a - w_e).max() < 1e-3
+    assert np.allclose(m_a["correlations"], m_e["correlations"], atol=1e-4)
