@@ -31,6 +31,11 @@ def main():
     parser.add_argument("--skip_svd", action="store_true",
                         help="measure only the dual path (the wide-SVD "
                              "reference path is minutes-slow at scale)")
+    parser.add_argument("--banded", action="store_true",
+                        help="wide BANDED scan instead: two bands of d/2, "
+                             "dual kernel scan (K_gamma = weighted kernel "
+                             "sum) vs the per-(gamma, fold) svd fallback")
+    parser.add_argument("--n_gammas", type=int, default=5)
     parser.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "wide_design_tpu.json"))
     args = parser.parse_args()
@@ -55,17 +60,37 @@ def main():
     Xd, Yd, Xtd, Ytd = jax.device_put((X, Y, X_test, Y_test))
     jax.block_until_ready((Xd, Yd, Xtd, Ytd))
 
-    def fit(method):
-        m, _, a = fit_nested_cv(
-            Xd, Yd, X_test=Xtd, y_test=Ytd, alphas=alphas, seed=0,
-            chunk_length=20, n_inner_folds=F, method=method,
-            return_weights=False,
-        )
-        return m, a
+    if args.banded:
+        from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+        half = D // 2
+        Xbs = [Xd[:, :half], Xd[:, half:]]
+        Xtbs = [Xtd[:, :half], Xtd[:, half:]]
+
+        def fit(method):
+            m, _, a, _g = fit_banded_ridge(
+                Xbs, Yd, X_tests=Xtbs, y_test=Ytd, alphas=alphas, seed=0,
+                chunk_length=20, n_inner_folds=F, method=method,
+                n_gammas=args.n_gammas, return_weights=False,
+            )
+            return m, a
+    else:
+        def fit(method):
+            m, _, a = fit_nested_cv(
+                Xd, Yd, X_test=Xtd, y_test=Ytd, alphas=alphas, seed=0,
+                chunk_length=20, n_inner_folds=F, method=method,
+                return_weights=False,
+            )
+            return m, a
 
     results = {"T": T, "D": D, "V": V, "T_test": Tp, "alphas": A,
                "inner_folds": F,
                "platform": jax.devices()[0].platform}
+    if args.banded:
+        results["banded"] = True
+        results["n_gammas"] = args.n_gammas
+        if args.out.endswith("wide_design_tpu.json"):  # default out
+            args.out = args.out.replace(".json", "_banded.json")
 
     print("dual (cold: compile + compute)...", flush=True)
     t0 = time.perf_counter()
