@@ -109,15 +109,6 @@ def simplex_lsq(A, b, n_iter: int = 1500):
     return w
 
 
-def _bucket_width(n: int, minimum: int = 128) -> int:
-    """Power-of-2 bucket for refit-group gathers (jit-signature reuse;
-    cf. models.banded._bucket_width)."""
-    b = minimum
-    while b < n:
-        b *= 2
-    return b
-
-
 @jax.jit
 def _chol_pred_group(G, XtY, Xva, idx, na):
     """One (fold, space, alpha-group) out-of-fold prediction (Tva, bucket):
@@ -136,6 +127,8 @@ def _oof_fold_pred_chol(X_j, Y_j, tr, va, best: np.ndarray,
     grouped by selected alpha — one Cholesky per distinct alpha (the
     eigensolve-free twin of the spectral per-voxel-alpha refit; cf.
     CLAUDE.md: eigh is the TPU wall-clock villain)."""
+    from litcoder_core_tpu.models.banded import _bucket_width
+
     Xtr = X_j[tr]
     G = jnp.dot(Xtr.T, Xtr, precision=_HIGHEST)
     XtY = jnp.dot(Xtr.T, Y_j[tr], precision=_HIGHEST)
