@@ -121,38 +121,40 @@ def _chol_pred_group(G, XtY, Xva, idx, na):
     return jnp.dot(Xva, Z, precision=_HIGHEST)
 
 
-def _oof_fold_pred_chol(X_j, Y_j, tr, va, best: np.ndarray,
-                        normalpha: bool):
-    """(Tva, V) out-of-fold predictions for one (fold, space) with voxels
-    grouped by selected alpha — one Cholesky per distinct alpha (the
+def _grouped_chol_pred(Xtr, Xpred, Ytr, best: np.ndarray,
+                       normalpha: bool):
+    """(Tpred, V) ridge predictions with per-voxel alphas, voxels grouped
+    by selected alpha — one Cholesky per distinct alpha (the
     eigensolve-free twin of the spectral per-voxel-alpha refit; cf.
-    CLAUDE.md: eigh is the TPU wall-clock villain)."""
+    CLAUDE.md: eigh is the TPU wall-clock villain). Serves both the
+    out-of-fold refits (Xtr = fold train rows, Xpred = fold val rows)
+    and the full-train test refit (Xtr = X, Xpred = X_test)."""
     from litcoder_core_tpu.models.banded import _bucket_width
 
-    Xtr = X_j[tr]
     G = jnp.dot(Xtr.T, Xtr, precision=_HIGHEST)
-    XtY = jnp.dot(Xtr.T, Y_j[tr], precision=_HIGHEST)
-    Xva = X_j[va]
+    XtY = jnp.dot(Xtr.T, Ytr, precision=_HIGHEST)
     s0 = (jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0)) if normalpha
           else jnp.float32(1.0))
-    pred = jnp.zeros((len(va), Y_j.shape[1]), jnp.float32)
+    pred = jnp.zeros((Xpred.shape[0], Ytr.shape[1]), jnp.float32)
     for a in np.unique(best):
         vox = np.nonzero(best == a)[0]
         bkt = _bucket_width(vox.size)
         idx = np.full(bkt, vox[0], np.int32)
         idx[:vox.size] = vox
-        pg = _chol_pred_group(G, XtY, Xva, jnp.asarray(idx),
+        pg = _chol_pred_group(G, XtY, Xpred, jnp.asarray(idx),
                               jnp.float32(a) * s0)
         pred = pred.at[:, vox].set(pg[:, :vox.size])
     return pred
 
 
 def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
-                           use_corr, singcutoff, method, X_test):
+                           use_corr, singcutoff, method, X_test,
+                           chol_refit: bool):
     """One feature space's per-voxel alphas (shared inner-CV search — the
     same eigensolve-free paths as fit_nested_cv, incl. the dual kernel
     form for wide spaces) and, optionally, its full-train-refit test
-    predictions (Tp, V)."""
+    predictions (Tp, V) — grouped-Cholesky under the standard gates,
+    spectral otherwise."""
     best = _find_best_alphas(
         X_j, Y_j, fold_splits,
         np.asarray(alphas, np.float32), single_alpha=False,
@@ -162,12 +164,17 @@ def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
     best_j = jnp.asarray(best, jnp.float32)
     y_pred_test = None
     if X_test is not None:
-        svd_full = ridge_svd(X_j, None, singcutoff=singcutoff,
-                             method="auto" if method in ("chol", "dual")
-                             else method)
-        nal = best_j * svd_full.S[0] if normalpha else best_j
-        wt = ridge_fit_from_svd(svd_full, Y_j, nal)
-        y_pred_test = predict(jnp.asarray(X_test, jnp.float32), wt)
+        X_test_j = jnp.asarray(X_test, jnp.float32)
+        if chol_refit:
+            y_pred_test = _grouped_chol_pred(X_j, X_test_j, Y_j,
+                                             np.asarray(best), normalpha)
+        else:
+            svd_full = ridge_svd(X_j, None, singcutoff=singcutoff,
+                                 method="auto" if method in ("chol", "dual")
+                                 else method)
+            nal = best_j * svd_full.S[0] if normalpha else best_j
+            wt = ridge_fit_from_svd(svd_full, Y_j, nal)
+            y_pred_test = predict(X_test_j, wt)
     return best_j, y_pred_test, np.asarray(best)
 
 
@@ -262,22 +269,9 @@ def fit_stacked_ridge(
     fold_splits = create_folds(T, folding_type, n_inner_folds,
                                chunk_length, seed=seed)
 
-    best_js, tests, all_alphas = [], [], []
-    for s, X_j in enumerate(Xs_j):
-        best_j, y_pred_t, best = _space_alphas_and_test(
-            X_j, Y_j, fold_splits, alphas, normalpha, use_corr, singcutoff,
-            method, None if X_tests is None else X_tests[s],
-        )
-        best_js.append(best_j)
-        tests.append(y_pred_t)
-        all_alphas.append(best)
-
-    # Per-fold accumulation of the QP terms: each fold refits every space
-    # on its train rows (per-voxel alphas fixed by the space's own search)
-    # and predicts its validation rows — out-of-fold by construction.
-    # Grouped-Cholesky refits under the standard exactness gates (see
-    # module docstring), per-(fold, space) spectral factorization
-    # otherwise.
+    # Grouped-Cholesky refits (out-of-fold AND full-train test refit)
+    # under the standard exactness gates (see module docstring);
+    # per-(fold, space) spectral factorization otherwise.
     min_tr = min(len(tr) for tr, _ in fold_splits)
     a_np = np.asarray(alphas)
     chol_oof = (
@@ -287,6 +281,20 @@ def fit_stacked_ridge(
         and all(X.shape[1] <= min_tr for X in Xs)
     )
     svd_method = "auto" if method in ("chol", "dual") else method
+
+    best_js, tests, all_alphas = [], [], []
+    for s, X_j in enumerate(Xs_j):
+        best_j, y_pred_t, best = _space_alphas_and_test(
+            X_j, Y_j, fold_splits, alphas, normalpha, use_corr, singcutoff,
+            method, None if X_tests is None else X_tests[s], chol_oof,
+        )
+        best_js.append(best_j)
+        tests.append(y_pred_t)
+        all_alphas.append(best)
+
+    # Per-fold accumulation of the QP terms: each fold refits every space
+    # on its train rows (per-voxel alphas fixed by the space's own search)
+    # and predicts its validation rows — out-of-fold by construction.
     S = len(Xs)
     A = jnp.zeros((V, S, S), jnp.float32)
     b = jnp.zeros((V, S), jnp.float32)
@@ -295,8 +303,8 @@ def fit_stacked_ridge(
         preds = []
         for s, X_j in enumerate(Xs_j):
             if chol_oof:
-                preds.append(_oof_fold_pred_chol(
-                    X_j, Y_j, tr, va, all_alphas[s], normalpha))
+                preds.append(_grouped_chol_pred(
+                    X_j[tr], X_j[va], Y_j[tr], all_alphas[s], normalpha))
             else:
                 svd = ridge_svd(X_j[tr], None, singcutoff=singcutoff,
                                 method=svd_method)
