@@ -149,7 +149,7 @@ def _grouped_chol_pred(Xtr, Xpred, Ytr, best: np.ndarray,
 
 def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
                            use_corr, singcutoff, method, X_test,
-                           chol_refit: bool):
+                           chol_refit: bool, voxel_chunk_size=None):
     """One feature space's per-voxel alphas (shared inner-CV search — the
     same eigensolve-free paths as fit_nested_cv, incl. the dual kernel
     form for wide spaces) and, optionally, its full-train-refit test
@@ -159,7 +159,7 @@ def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
         X_j, Y_j, fold_splits,
         np.asarray(alphas, np.float32), single_alpha=False,
         normalpha=normalpha, use_corr=use_corr, singcutoff=singcutoff,
-        voxel_chunk_size=None, method=method,
+        voxel_chunk_size=voxel_chunk_size, method=method,
     )
     best_j = jnp.asarray(best, jnp.float32)
     y_pred_test = None
@@ -179,16 +179,9 @@ def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
 
 
 @jax.jit
-def _stack_qp_terms_fold(P_f, Y_f):
-    """One fold's contribution to A (V, S, S) and b (V, S) from its
-    out-of-fold predictions P_f (S, Tva, V) and responses Y_f (Tva, V).
-    Accumulating per fold (the validation sets are disjoint, so the fold
-    sums equal the concatenated-OOF Grams exactly) keeps peak memory at
-    one fold's (S, Tva, V) predictions instead of an (S, T, V) stack —
-    the difference between fitting whole-brain V on one chip and not."""
-    A = jnp.einsum("itv,jtv->vij", P_f, P_f, precision=_HIGHEST)
-    b = jnp.einsum("itv,tv->vi", P_f, Y_f, precision=_HIGHEST)
-    return A, b
+def _colwise_dot(a, b):
+    """(V,) per-voxel dot over time: sum_t a[t, v] * b[t, v]."""
+    return jnp.einsum("tv,tv->v", a, b, precision=_HIGHEST)
 
 
 def fit_stacked_ridge(
@@ -207,12 +200,16 @@ def fit_stacked_ridge(
     seed: int = 0,
     method: str = "auto",
     n_iter: int = 1500,
+    voxel_chunk_size: Optional[int] = None,
 ) -> Tuple[Dict, np.ndarray, np.ndarray]:
     """Stacked ridge across feature spaces with per-voxel simplex weights.
 
     Args:
         Xs: list of (T, D_s) training feature spaces.
         X_tests / y_test: matching test spaces / (Tp, V) responses.
+        voxel_chunk_size: streams each space's alpha SEARCH through voxel
+            chunks (same knob as fit_nested_cv); the refits/blend already
+            keep per-fold-sized buffers only.
         Others: same contracts as fit_nested_cv / fit_banded_ridge.
 
     Returns:
@@ -287,6 +284,7 @@ def fit_stacked_ridge(
         best_j, y_pred_t, best = _space_alphas_and_test(
             X_j, Y_j, fold_splits, alphas, normalpha, use_corr, singcutoff,
             method, None if X_tests is None else X_tests[s], chol_oof,
+            voxel_chunk_size,
         )
         best_js.append(best_j)
         tests.append(y_pred_t)
@@ -295,6 +293,11 @@ def fit_stacked_ridge(
     # Per-fold accumulation of the QP terms: each fold refits every space
     # on its train rows (per-voxel alphas fixed by the space's own search)
     # and predicts its validation rows — out-of-fold by construction.
+    # The QP terms accumulate FOLD BY FOLD (validation sets are disjoint,
+    # so the fold sums equal the concatenated-OOF Grams exactly) and
+    # PAIRWISE per space — no (S, Tva, V) stack copy ever exists; peak
+    # extra memory is the S per-space (Tva, V) prediction buffers. That
+    # is what keeps whole-brain V on one chip.
     S = len(Xs)
     A = jnp.zeros((V, S, S), jnp.float32)
     b = jnp.zeros((V, S), jnp.float32)
@@ -311,10 +314,14 @@ def fit_stacked_ridge(
                 nal = (best_js[s] * svd.S[0] if normalpha else best_js[s])
                 wt = ridge_fit_from_svd(svd, Y_j[tr], nal)
                 preds.append(predict(X_j[va], wt))
-        P_f = jnp.stack(preds)                       # (S, Tva, V)
-        dA, db = _stack_qp_terms_fold(P_f, Y_j[va])
-        A = A + dA
-        b = b + db
+        Yva = Y_j[va]
+        for i in range(S):
+            b = b.at[:, i].add(_colwise_dot(preds[i], Yva))
+            for j in range(i, S):
+                aij = _colwise_dot(preds[i], preds[j])
+                A = A.at[:, i, j].add(aij)
+                if j > i:
+                    A = A.at[:, j, i].add(aij)
         n_rows_used += len(va)
     if n_rows_used < T:
         # Rows in no validation fold (e.g. chunked remainders) carry no
@@ -328,11 +335,11 @@ def fit_stacked_ridge(
 
     metrics: Dict = {"stack_weights": stack_weights.tolist()}
     if X_tests is not None:
-        P_test = jnp.stack(tests)                    # (S, Tp, V)
-        y_pred = jnp.einsum("stv,vs->tv", P_test, w)
+        # Accumulate the blend without stacking (S, Tp, V).
+        y_pred = sum(w[:, s][None, :] * tests[s] for s in range(S))
         y_test_j = jnp.asarray(y_test, jnp.float32)
         corr = np.asarray(pearson_r(y_test_j, y_pred))
-        per_space = [np.asarray(pearson_r(y_test_j, p)) for p in P_test]
+        per_space = [np.asarray(pearson_r(y_test_j, p)) for p in tests]
         pval = pearson_pvalues_f64(corr, y_test.shape[0])
         significant, corrected = bh_fdrcorrection_np(pval, alpha=alpha_fdr)
         metrics.update(_create_metrics_dict(
