@@ -8,6 +8,20 @@ file — a crashed earlier run must not poison the next one's write.
 
 import json
 import os
+import sys
+
+
+def ensure_backend(deadline_s: float = 480.0) -> None:
+    """Probe the default JAX backend in a FRESH subprocess before a long
+    benchmark run; exit with a clear message instead of hanging for many
+    minutes when the TPU tunnel is down (JAX caches init failure
+    in-process, so probing must happen in a subprocess — CLAUDE.md)."""
+    from litcoder_core_tpu.utils.benchguard import wait_for_backend
+
+    ok, rc = wait_for_backend(deadline_s=deadline_s)
+    if not ok:
+        sys.exit(f"backend unavailable (fresh-subprocess probe rc={rc}); "
+                 f"retry when the TPU tunnel is back")
 
 
 def append_records(path: str, records) -> None:

@@ -1,0 +1,180 @@
+"""Outage-proof benchmark capture.
+
+The TPU backend here lives behind a tunnel that can be down for hours
+(observed 7+ h mid-round; JAX caches backend-init failure within a process,
+so only FRESH subprocesses can re-probe). The reference has no analogue —
+this protects the rebuild's own perf evidence chain: a benchmark run at a
+bad moment must degrade to the last committed measurement with explicit
+honesty markers, not crash (BENCH_r03.json was an rc=1 traceback).
+
+Flow (`run_guarded`):
+  1. probe the default backend in a fresh subprocess (tiny matmul), with a
+     bounded per-probe timeout and an overall retry deadline;
+  2. on success, run the live benchmark command as a subprocess with its
+     own generous timeout, parse its final stdout line as the JSON result,
+     and refresh the snapshot file;
+  3. on persistent unavailability (or a live-run failure), emit the
+     snapshot's result as a valid JSON line with `"stale": true`,
+     `"stale_reason"`, `"probe_rc"` and `"snapshot_captured_utc"` added —
+     exit code 0 either way, so the driver records a parseable line.
+
+Env knobs (all seconds): LITCODER_BENCH_PROBE_TIMEOUT_S (per probe,
+default 180), LITCODER_BENCH_PROBE_DEADLINE_S (total probing budget,
+default 480), LITCODER_BENCH_LIVE_TIMEOUT_S (live run, default 3600).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from datetime import datetime, timezone
+from typing import List, Optional, Tuple
+
+# Fresh-subprocess probe: init the default backend and force one real
+# dispatch. block_until_ready alone has been observed returning without
+# executing on the tunneled backend, so fetch a scalar.
+#
+# LITCODER_BENCH_PLATFORM pins the probed platform via jax.config — NOT
+# JAX_PLATFORMS, which the tunneled TPU plugin ignores (CLAUDE.md). The
+# outage unit test sets it to a nonexistent platform so backend init
+# genuinely fails in the subprocess.
+_PROBE_CODE = (
+    "import os, jax, jax.numpy as jnp;"
+    "p = os.environ.get('LITCODER_BENCH_PLATFORM');"
+    "p and jax.config.update('jax_platforms', p);"
+    "x = jnp.ones((256, 256));"
+    "s = float(jnp.sum(x @ x));"
+    "assert s == 256.0 * 256 * 256;"
+    "print(jax.devices()[0].platform)"
+)
+
+
+def _env_float(name: str, default: float) -> float:
+    try:
+        return float(os.environ.get(name, default))
+    except ValueError:
+        return default
+
+
+def probe_backend(timeout_s: Optional[float] = None) -> Tuple[bool, object]:
+    """One fresh-subprocess backend probe.
+
+    Returns (ok, rc) where rc is the subprocess return code, or the string
+    'timeout' when the probe hung past `timeout_s` (the observed outage
+    mode: backend init hangs for many minutes before raising UNAVAILABLE).
+    """
+    if timeout_s is None:
+        timeout_s = _env_float("LITCODER_BENCH_PROBE_TIMEOUT_S", 180.0)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, "timeout"
+    return proc.returncode == 0, proc.returncode
+
+
+def wait_for_backend(deadline_s: Optional[float] = None,
+                     probe_timeout_s: Optional[float] = None,
+                     sleep_s: float = 30.0) -> Tuple[bool, object]:
+    """Probe until success or until `deadline_s` of total budget is spent.
+
+    Returns (ok, last_rc). Always runs at least one probe.
+    """
+    if deadline_s is None:
+        deadline_s = _env_float("LITCODER_BENCH_PROBE_DEADLINE_S", 480.0)
+    t0 = time.monotonic()
+    ok, rc = probe_backend(probe_timeout_s)
+    while not ok:
+        remaining = deadline_s - (time.monotonic() - t0)
+        if remaining <= 0:
+            break
+        time.sleep(min(sleep_s, remaining))
+        ok, rc = probe_backend(probe_timeout_s)
+    return ok, rc
+
+
+def load_snapshot(path: str) -> Optional[dict]:
+    """Read a snapshot file: {'captured_utc': ..., 'result': {...}} (also
+    tolerates a bare result dict from older snapshots)."""
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            snap = json.load(f)
+    except (json.JSONDecodeError, OSError):
+        return None
+    if "result" not in snap and "metric" in snap:
+        snap = {"captured_utc": snap.get("note", "unknown"), "result": snap}
+    return snap if isinstance(snap.get("result"), dict) else None
+
+
+def save_snapshot(path: str, result: dict, note: str = "") -> None:
+    snap = {
+        "captured_utc": datetime.now(timezone.utc).isoformat(
+            timespec="seconds"),
+        "result": result,
+    }
+    if note:
+        snap["note"] = note
+    with open(path, "w") as f:
+        json.dump(snap, f, indent=1)
+
+
+def _emit_stale(snapshot: dict, reason: str, probe_rc) -> int:
+    result = dict(snapshot["result"])
+    result["stale"] = True
+    result["stale_reason"] = reason
+    result["probe_rc"] = probe_rc
+    result["snapshot_captured_utc"] = snapshot.get("captured_utc", "unknown")
+    print(json.dumps(result))
+    return 0
+
+
+def run_guarded(live_argv: List[str], snapshot_path: str,
+                live_timeout_s: Optional[float] = None) -> int:
+    """Probe -> live run -> snapshot refresh, with stale fallback.
+
+    Returns the process exit code to use (0 on success OR stale fallback;
+    nonzero only when the live path failed AND no snapshot exists).
+    """
+    if live_timeout_s is None:
+        live_timeout_s = _env_float("LITCODER_BENCH_LIVE_TIMEOUT_S", 3600.0)
+    snapshot = load_snapshot(snapshot_path)
+
+    ok, rc = wait_for_backend()
+    if not ok:
+        if snapshot is not None:
+            return _emit_stale(
+                snapshot,
+                "backend unavailable at capture time (fresh-subprocess "
+                "probe failed within the deadline)", rc)
+        print(json.dumps({"metric": "bench_failed", "value": None,
+                          "unit": "backend unavailable and no snapshot",
+                          "vs_baseline": None, "probe_rc": rc}))
+        return 1
+
+    try:
+        proc = subprocess.run(live_argv, capture_output=True, text=True,
+                              timeout=live_timeout_s)
+        lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+        result = json.loads(lines[-1]) if proc.returncode == 0 and lines \
+            else None
+        if result is not None and result.get("value") is not None:
+            save_snapshot(snapshot_path, result)
+            print(json.dumps(result))
+            return 0
+        reason = (f"live bench rc={proc.returncode}; stderr tail: "
+                  f"{proc.stderr.strip()[-300:]}")
+    except subprocess.TimeoutExpired:
+        reason = f"live bench timed out after {live_timeout_s:.0f}s"
+    except (json.JSONDecodeError, IndexError) as e:
+        reason = f"live bench produced unparseable output ({e})"
+
+    if snapshot is not None:
+        return _emit_stale(snapshot, reason, rc)
+    print(json.dumps({"metric": "bench_failed", "value": None,
+                      "unit": reason, "vs_baseline": None}))
+    return 1

@@ -1,0 +1,154 @@
+"""Outage resilience of the benchmark capture (utils/benchguard.py).
+
+VERDICT r3 weak #1: BENCH_r03.json was an rc=1 tunnel-outage traceback.
+These tests lock the guard's contract: a down backend at capture time must
+yield rc=0 and the committed snapshot with explicit staleness markers; a
+healthy backend must yield the live measurement and refresh the snapshot.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BENCH = os.path.join(REPO, "bench.py")
+SNAPSHOT = os.path.join(REPO, "benchmarks", "bench_snapshot.json")
+
+
+def _outage_env():
+    """Env that makes every fresh-subprocess JAX init fail fast, simulating
+    the tunnel outage (an unknown platform raises at backend init).
+
+    NOTE: JAX_PLATFORMS would NOT work here — the tunneled TPU plugin
+    ignores the env var (CLAUDE.md); the probe honors
+    LITCODER_BENCH_PLATFORM via jax.config, which the plugin respects."""
+    env = dict(os.environ)
+    env["LITCODER_BENCH_PLATFORM"] = "bogus_platform"
+    env["LITCODER_BENCH_PROBE_TIMEOUT_S"] = "60"
+    env["LITCODER_BENCH_PROBE_DEADLINE_S"] = "1"  # a single probe attempt
+    return env
+
+
+def test_outage_falls_back_to_stale_snapshot():
+    proc = subprocess.run([sys.executable, BENCH], capture_output=True,
+                          text=True, env=_outage_env(), timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    result = json.loads(lines[-1])
+    assert result["stale"] is True
+    assert result["probe_rc"] not in (0, None)
+    assert "snapshot_captured_utc" in result and "stale_reason" in result
+    # The driver's schema survives the fallback.
+    snap = json.load(open(SNAPSHOT))
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert result[key] == snap["result"][key]
+
+
+def test_outage_without_snapshot_fails_loudly(tmp_path):
+    """No snapshot to fall back on -> nonzero rc and an explanatory JSON
+    line (never a bare traceback)."""
+    from litcoder_core_tpu.utils import benchguard
+
+    env = _outage_env()
+    code = (
+        "import sys; sys.path.insert(0, %r);"
+        "from litcoder_core_tpu.utils.benchguard import run_guarded;"
+        "sys.exit(run_guarded([sys.executable, '-c', 'pass'], %r))"
+        % (REPO, str(tmp_path / "missing_snapshot.json"))
+    )
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, env=env, timeout=300)
+    assert proc.returncode == 1
+    result = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert result["value"] is None and result["metric"] == "bench_failed"
+    assert benchguard  # imported above for the skip-less path
+
+
+def test_healthy_backend_runs_live_and_refreshes_snapshot(tmp_path):
+    """With a working (CPU) backend, the guard runs the live command,
+    prints its JSON, and refreshes the snapshot file."""
+    from litcoder_core_tpu.utils.benchguard import load_snapshot, run_guarded
+
+    snap_path = str(tmp_path / "snap.json")
+    fake_live = [
+        sys.executable, "-c",
+        "import json; print('noise line');"
+        "print(json.dumps({'metric': 'm', 'value': 1.5, 'unit': 'u',"
+        " 'vs_baseline': 2.0}))",
+    ]
+    # Pin the probe to CPU via the config-level override (JAX_PLATFORMS is
+    # ignored by the TPU plugin; and probing the real tunnel would make
+    # this CPU-suite test hostage to tunnel outages).
+    env_backup = os.environ.get("LITCODER_BENCH_PLATFORM")
+    os.environ["LITCODER_BENCH_PLATFORM"] = "cpu"
+    try:
+        rc = run_guarded(fake_live, snap_path, live_timeout_s=120)
+    finally:
+        if env_backup is None:
+            os.environ.pop("LITCODER_BENCH_PLATFORM", None)
+        else:
+            os.environ["LITCODER_BENCH_PLATFORM"] = env_backup
+    assert rc == 0
+    snap = load_snapshot(snap_path)
+    assert snap["result"]["value"] == 1.5
+    assert "captured_utc" in snap
+
+
+def test_live_failure_falls_back_to_stale(tmp_path):
+    """Probe OK but the live run crashes -> stale fallback, rc=0."""
+    from litcoder_core_tpu.utils.benchguard import (
+        run_guarded,
+        save_snapshot,
+    )
+
+    snap_path = str(tmp_path / "snap.json")
+    save_snapshot(snap_path, {"metric": "m", "value": 3.0, "unit": "u",
+                              "vs_baseline": 1.0})
+    env_backup = os.environ.get("LITCODER_BENCH_PLATFORM")
+    os.environ["LITCODER_BENCH_PLATFORM"] = "cpu"
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    try:
+        with redirect_stdout(buf):
+            rc = run_guarded([sys.executable, "-c", "raise SystemExit(3)"],
+                             snap_path, live_timeout_s=120)
+    finally:
+        if env_backup is None:
+            os.environ.pop("LITCODER_BENCH_PLATFORM", None)
+        else:
+            os.environ["LITCODER_BENCH_PLATFORM"] = env_backup
+    assert rc == 0
+    result = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert result["stale"] is True and result["value"] == 3.0
+    assert "rc=3" in result["stale_reason"]
+
+
+def test_snapshot_loader_tolerates_bare_and_broken_files(tmp_path):
+    from litcoder_core_tpu.utils.benchguard import load_snapshot
+
+    bare = tmp_path / "bare.json"
+    bare.write_text(json.dumps({"metric": "m", "value": 1}))
+    snap = load_snapshot(str(bare))
+    assert snap["result"]["metric"] == "m"
+
+    broken = tmp_path / "broken.json"
+    broken.write_text("{not json")
+    assert load_snapshot(str(broken)) is None
+    assert load_snapshot(str(tmp_path / "absent.json")) is None
+
+
+def test_committed_snapshot_is_loadable():
+    """The committed snapshot must always satisfy the driver's schema —
+    it is the outage fallback for every future round."""
+    from litcoder_core_tpu.utils.benchguard import load_snapshot
+
+    snap = load_snapshot(SNAPSHOT)
+    assert snap is not None
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in snap["result"]
+    assert snap["result"]["value"] is not None
