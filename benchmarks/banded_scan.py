@@ -18,6 +18,47 @@ import time
 import numpy as np
 
 
+def fit_scaling_law(results):
+    """Fit warm_s = intercept + slope * n_gammas over THIS run's rows, with
+    sanity guards (VERDICT r3 weak #3: a degraded-tunnel run once published
+    a negative-slope law fitted over non-monotonic garbage).
+
+    Refuses to publish when (a) the rows mix configurations (fast_scan /
+    voxel_chunk / V / T must match — a law over mixed configs is
+    meaningless), (b) warm_s is not non-decreasing in n_gammas (the scan
+    term is linear in G; non-monotonic walls mean the measurement, not the
+    model, is wrong), or (c) the fitted slope is not positive. Returns a
+    record with either warm_s_model/gammas_at_2min or law_rejected."""
+    rows = sorted(
+        (r for r in results if r.get("metric") ==
+         "banded_ridge_fit_wall_seconds"),
+        key=lambda r: r["n_gammas"],
+    )
+    if len(rows) < 2:
+        return None
+    configs = {(str(r.get("fast_scan")), r.get("voxel_chunk"),
+                r["V"], r["T"]) for r in rows}
+    if len(configs) > 1:
+        return {"metric": "banded_scan_scaling_law",
+                "law_rejected": f"mixed configurations: {sorted(configs)}"}
+    g = np.array([r["n_gammas"] for r in rows], float)
+    w = np.array([r["warm_s"] for r in rows], float)
+    if not np.all(np.diff(w) >= 0):
+        return {"metric": "banded_scan_scaling_law",
+                "law_rejected": "warm_s not monotonic in n_gammas "
+                                f"(walls {w.tolist()} at gammas "
+                                f"{g.tolist()}); re-measure"}
+    slope, intercept = np.polyfit(g, w, 1)
+    if slope <= 0:
+        return {"metric": "banded_scan_scaling_law",
+                "law_rejected": f"non-positive slope {slope:.2f}"}
+    return {
+        "metric": "banded_scan_scaling_law",
+        "warm_s_model": f"{intercept:.1f} + {slope:.2f} * n_gammas",
+        "gammas_at_2min": int((120.0 - intercept) / slope),
+    }
+
+
 def main():
     logging.basicConfig(level=logging.INFO)  # solver path + stage reports
     from litcoder_core_tpu.cli import _fast_scan_arg  # shared value parser
@@ -59,6 +100,10 @@ def main():
     y_test = sum(X @ w for X, w in zip(X_tests, wt)) @ mix
     y_test = (y_test + rng.normal(size=(TP, V))).astype(np.float32)
     alphas = np.logspace(-1, 8, A)
+
+    from _artifacts import ensure_backend
+
+    ensure_backend()  # fail fast instead of hanging on a down tunnel
 
     import jax
 
@@ -107,18 +152,12 @@ def main():
         print(json.dumps(rec), flush=True)
 
     # Scaling law: warm wall vs n_gammas (the scan term is linear in G; the
-    # fixed term is folds' factorization + refit).
-    if len(results) >= 2:
-        g = np.array([r["n_gammas"] for r in results], float)
-        w = np.array([r["warm_s"] for r in results], float)
-        slope, intercept = np.polyfit(g, w, 1)
-        results.append({
-            "metric": "banded_scan_scaling_law",
-            "warm_s_model": f"{intercept:.1f} + {slope:.2f} * n_gammas",
-            "gammas_at_2min": int((120.0 - intercept) / slope)
-            if slope > 0 else None,
-        })
-        print(json.dumps(results[-1]), flush=True)
+    # fixed term is folds' factorization + refit). Guarded — see
+    # fit_scaling_law.
+    law = fit_scaling_law(results)
+    if law is not None:
+        results.append(law)
+        print(json.dumps(law), flush=True)
 
     from _artifacts import append_records, artifact_path
 

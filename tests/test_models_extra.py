@@ -224,3 +224,72 @@ def test_linear_model_1d_features():
     assert metrics["median_score"] > 0.9
     preds = model.predict(x)
     assert preds.shape == (60, 2)
+
+
+def test_banded_input_validation():
+    """ADVICE r3: X_tests without y_test and mismatched Y rows used to be
+    silently accepted (the latter clamped by JAX out-of-bounds gathers —
+    garbage selections, no error)."""
+    import pytest
+
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    rng = np.random.default_rng(3)
+    X1 = rng.normal(size=(40, 4)).astype(np.float32)
+    X2 = rng.normal(size=(40, 3)).astype(np.float32)
+    Y = rng.normal(size=(40, 6)).astype(np.float32)
+    Xt = [rng.normal(size=(10, 4)).astype(np.float32),
+          rng.normal(size=(10, 3)).astype(np.float32)]
+    kw = dict(alphas=[0.1, 1.0], n_gammas=2, n_inner_folds=2,
+              chunk_length=5)
+
+    with pytest.raises(ValueError, match="given together"):
+        fit_banded_ridge([X1, X2], Y, X_tests=Xt, **kw)
+    with pytest.raises(ValueError, match="rows"):
+        fit_banded_ridge([X1, X2], Y[:30], **kw)
+    with pytest.raises(ValueError, match="test spaces"):
+        fit_banded_ridge([X1, X2], Y, X_tests=Xt[:1],
+                         y_test=rng.normal(size=(10, 6)).astype(np.float32),
+                         **kw)
+    with pytest.raises(ValueError, match="test space 0"):
+        fit_banded_ridge([X1, X2], Y, X_tests=[Xt[0][:5], Xt[1]],
+                         y_test=rng.normal(size=(10, 6)).astype(np.float32),
+                         **kw)
+    with pytest.raises(ValueError, match="features"):
+        fit_banded_ridge([X1, X2], Y,
+                         X_tests=[Xt[0][:, :2], Xt[1]],
+                         y_test=rng.normal(size=(10, 6)).astype(np.float32),
+                         **kw)
+
+
+def test_banded_prediction_only_matches_weights_mode():
+    """return_weights=False routes the chol refit through the per-gamma
+    masked all-voxel prediction kernel (_refit_gamma_predict — the
+    gather-form groups OOMed at scale); its test metrics must match the
+    gather-form weights-mode refit exactly."""
+    from litcoder_core_tpu.models.banded import fit_banded_ridge
+
+    rng = np.random.default_rng(9)
+    T, Tp, V = 160, 40, 23
+    X1 = rng.normal(size=(T, 6)).astype(np.float32)
+    X2 = rng.normal(size=(T, 4)).astype(np.float32)
+    w1 = rng.normal(size=(6, V)).astype(np.float32)
+    Y = (X1 @ w1 + 0.5 * rng.normal(size=(T, V))).astype(np.float32)
+    Xt1 = rng.normal(size=(Tp, 6)).astype(np.float32)
+    Xt2 = rng.normal(size=(Tp, 4)).astype(np.float32)
+    Yt = (Xt1 @ w1 + 0.5 * rng.normal(size=(Tp, V))).astype(np.float32)
+    kw = dict(alphas=np.logspace(-1, 3, 5), n_gammas=4, chunk_length=8,
+              n_inner_folds=3, seed=0)
+
+    m_w, w_w, a_w, g_w = fit_banded_ridge(
+        [X1, X2], Y, X_tests=[Xt1, Xt2], y_test=Yt, **kw)
+    m_p, w_p, a_p, g_p = fit_banded_ridge(
+        [X1, X2], Y, X_tests=[Xt1, Xt2], y_test=Yt, return_weights=False,
+        **kw)
+    assert m_w["solver_paths"]["banded_refit"] == "grouped_chol"
+    assert w_p is None and w_w is not None
+    np.testing.assert_array_equal(a_p, a_w)
+    np.testing.assert_array_equal(g_p, g_w)
+    np.testing.assert_allclose(m_p["correlations"], m_w["correlations"],
+                               atol=1e-5)
+    assert m_p["n_significant"] == m_w["n_significant"]
