@@ -50,6 +50,10 @@ def main():
     y_test = (y_test + 0.5 * rng.normal(size=(TP, V))).astype(np.float32)
     alphas = np.logspace(-1, 8, A)
 
+    from _artifacts import ensure_backend
+
+    ensure_backend()  # fail fast instead of hanging on a down tunnel
+
     import jax
 
     from litcoder_core_tpu.models.stacking import fit_stacked_ridge
@@ -85,6 +89,10 @@ def main():
         "median_weight_per_space": [
             round(float(np.median(w[:, s])), 3) for s in range(len(Xs))
         ],
+        # The promised cost split: per-space machinery (any per-space
+        # analysis pays it anyway) vs the blend itself (QP + FISTA).
+        "stages_warm": {k: round(v, 2)
+                        for k, v in m.get("stage_seconds", {}).items()},
     }
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -198,7 +198,9 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
         story_selection = list(config["story_order"])
 
     subject_label = config.get("subject") or "prepkg"
-    run_name = (
+    # A caller-provided run_name (e.g. sweeps.expand_grid: one stable name
+    # per grid point) overrides the timestamped default.
+    run_name = config.get("run_name") or (
         f"{config['dataset_type']}-{subject_label}-"
         f"{datetime.now().strftime('%Y%m%d-%H%M%S')}"
     )
@@ -232,21 +234,25 @@ def run(config: Dict[str, Any]) -> Dict[str, Any]:
                                  n_gammas=config.get("n_gammas", 10),
                                  n_devices=config.get("n_devices"))
     elif stacking:
-        if config.get("n_devices"):
-            raise ValueError(
-                "--n_devices is not supported with --stacking (the "
-                "per-voxel blend runs unsharded; the per-space fits are "
-                "already single-dispatch device programs)"
-            )
         if config.get("fast_scan") or \
                 config.get("significance", "parametric") != "parametric":
             raise ValueError(
                 "--fast_scan/--significance are not supported with "
                 "--stacking"
             )
+        if config.get("n_permutations", 1000) != 1000 or \
+                config.get("n_gammas", 10) != 10:
+            # These flags have no effect on the stacked fit; silently
+            # accepting them would read as "they took effect" (ADVICE r3).
+            raise ValueError(
+                "--n_permutations/--n_gammas are not used by --stacking "
+                "(permutation significance and gamma scans are banded/"
+                "nested-CV options)"
+            )
         from litcoder_core_tpu.models.stacking import StackedRidgeModel
 
-        model = StackedRidgeModel(seed=config.get("seed", 0))
+        model = StackedRidgeModel(seed=config.get("seed", 0),
+                                  n_devices=config.get("n_devices"))
     else:
         model = NestedCVModel(model_name="ridge_regression",
                               seed=config.get("seed", 0),

@@ -42,8 +42,10 @@ import numpy as np
 
 from litcoder_core_tpu.models.folding import create_folds
 from litcoder_core_tpu.models.nested_cv import (
+    _LAST_PATHS,
     _create_metrics_dict,
     _find_best_alphas,
+    _record_path,
 )
 from litcoder_core_tpu.models.ridge import (
     lmax_dense,
@@ -109,6 +111,47 @@ def simplex_lsq(A, b, n_iter: int = 1500):
     return w
 
 
+@partial(jax.jit, static_argnames=("normalpha",))
+def _chol_pred_pervoxel(G, XtY, Xpred, alphas_grid, best_idx,
+                        normalpha: bool):
+    """(Tpred, V) ridge predictions with per-voxel alphas, MESH-SAFE: the
+    per-alpha solve factors Z_a = (G + nal_a^2 I)^-1 Xpred^T are
+    voxel-INDEPENDENT, each alpha's predictions Z_a^T XtY are columnwise
+    in V, and the per-voxel selection is an elementwise where() on the
+    (V,) best-alpha index — so a voxel-sharded XtY/best_idx propagates
+    with zero collectives. The grouped-Cholesky twin (_grouped_chol_pred)
+    gathers voxel groups by selected alpha, which the SPMD partitioner
+    cannot keep local; this variant trades those gathers for computing
+    every alpha's predictions on all voxels (A extra prediction matmuls —
+    MXU-cheap next to the factorizations)."""
+    eye = jnp.eye(G.shape[0], dtype=jnp.float32)
+    s0 = (jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0)) if normalpha
+          else jnp.float32(1.0))
+
+    def body(a, pred):
+        na = alphas_grid[a] * s0
+        L = jnp.linalg.cholesky(G + (na * na) * eye)
+        Z = jax.scipy.linalg.solve_triangular(L, Xpred.T, lower=True)
+        Z = jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
+        pred_a = jnp.dot(Z.T, XtY, precision=_HIGHEST)  # (Tpred, V)
+        return jnp.where(best_idx[None, :] == a, pred_a, pred)
+
+    pred0 = jnp.zeros((Xpred.shape[0], XtY.shape[1]), jnp.float32)
+    return jax.lax.fori_loop(0, alphas_grid.shape[0], body, pred0)
+
+
+def _pervoxel_chol_pred(Xtr, Xpred, Ytr, alphas, best_idx,
+                        normalpha: bool):
+    """Mesh-safe counterpart of _grouped_chol_pred (see
+    _chol_pred_pervoxel): same math, per-voxel alpha selected by index
+    into the shared grid instead of host-side voxel grouping."""
+    G = jnp.dot(Xtr.T, Xtr, precision=_HIGHEST)
+    XtY = jnp.dot(Xtr.T, Ytr, precision=_HIGHEST)
+    return _chol_pred_pervoxel(G, XtY, Xpred,
+                               jnp.asarray(alphas, jnp.float32),
+                               best_idx, normalpha)
+
+
 @jax.jit
 def _chol_pred_group(G, XtY, Xva, idx, na):
     """One (fold, space, alpha-group) out-of-fold prediction (Tva, bucket):
@@ -149,12 +192,15 @@ def _grouped_chol_pred(Xtr, Xpred, Ytr, best: np.ndarray,
 
 def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
                            use_corr, singcutoff, method, X_test,
-                           chol_refit: bool, voxel_chunk_size=None):
+                           chol_refit: bool, voxel_chunk_size=None,
+                           best_idx_fn=None):
     """One feature space's per-voxel alphas (shared inner-CV search — the
     same eigensolve-free paths as fit_nested_cv, incl. the dual kernel
     form for wide spaces) and, optionally, its full-train-refit test
     predictions (Tp, V) — grouped-Cholesky under the standard gates,
-    spectral otherwise."""
+    spectral otherwise. With `best_idx_fn` (mesh fits) the chol refit runs
+    the per-voxel-index kernel instead of host voxel grouping (see
+    _chol_pred_pervoxel)."""
     best = _find_best_alphas(
         X_j, Y_j, fold_splits,
         np.asarray(alphas, np.float32), single_alpha=False,
@@ -165,7 +211,10 @@ def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
     y_pred_test = None
     if X_test is not None:
         X_test_j = jnp.asarray(X_test, jnp.float32)
-        if chol_refit:
+        if chol_refit and best_idx_fn is not None:
+            y_pred_test = _pervoxel_chol_pred(
+                X_j, X_test_j, Y_j, alphas, best_idx_fn(best), normalpha)
+        elif chol_refit:
             y_pred_test = _grouped_chol_pred(X_j, X_test_j, Y_j,
                                              np.asarray(best), normalpha)
         else:
@@ -201,6 +250,8 @@ def fit_stacked_ridge(
     method: str = "auto",
     n_iter: int = 1500,
     voxel_chunk_size: Optional[int] = None,
+    mesh=None,
+    n_devices: Optional[int] = None,
 ) -> Tuple[Dict, np.ndarray, np.ndarray]:
     """Stacked ridge across feature spaces with per-voxel simplex weights.
 
@@ -210,15 +261,26 @@ def fit_stacked_ridge(
         voxel_chunk_size: streams each space's alpha SEARCH through voxel
             chunks (same knob as fit_nested_cv); the refits/blend already
             keep per-fold-sized buffers only.
+        mesh / n_devices: optional 1-D voxel mesh (or a device count to
+            build one) — the same multi-chip knob as fit_nested_cv /
+            fit_banded_ridge. Every stage is columnwise in V (per-space
+            searches, out-of-fold refits via the per-voxel-index Cholesky
+            kernel, the QP accumulation, and the vmapped simplex solver),
+            so the whole stacked fit shards over the voxel axis with zero
+            tensor collectives.
         Others: same contracts as fit_nested_cv / fit_banded_ridge.
 
     Returns:
         (metrics, stack_weights (V, S), best_alphas (S, V)).
         metrics mirrors the train/test nested-CV dict (when a test set is
         given; 'best_alphas' holds the per-space (S, V) selections) plus
-        'stack_weights' and per-space test correlations 'per_space_test_r'
-        — so the stacked r is directly comparable to each space alone.
+        per-space weight SUMMARIES ('stack_weights_mean'/'_median',
+        'stack_dominant_share' — the full (V, S) array is the returned
+        stack_weights, not a metrics payload) and per-space test
+        correlations 'per_space_test_r' — so the stacked r is directly
+        comparable to each space alone.
     """
+    _LAST_PATHS.clear()  # engaged paths -> metrics['solver_paths']
     if method not in ("auto", "chol", "dual", "eigh", "svd"):
         raise ValueError(
             f"method must be one of 'auto', 'chol', 'dual', 'eigh', "
@@ -258,11 +320,57 @@ def fit_stacked_ridge(
                 )
     if alphas is None:
         alphas = np.logspace(-1, 8, 10)
+    alphas = np.asarray(alphas, np.float32)
     Y_j = jnp.asarray(Y, jnp.float32)
     # One host->device transfer per space, reused by the search, every
     # fold refit, and the full-train refit (transfers over the tunneled
     # TPU link are slow; cf. CLAUDE.md).
     Xs_j = [jnp.asarray(X, jnp.float32) for X in Xs]
+
+    from litcoder_core_tpu.parallel.mesh import resolve_voxel_mesh
+
+    vox_mesh = resolve_voxel_mesh(mesh, n_devices, who="fit_stacked_ridge")
+    y_test_j = (jnp.asarray(y_test, jnp.float32)
+                if y_test is not None else None)
+    X_tests_j = ([jnp.asarray(Xt, jnp.float32) for Xt in X_tests]
+                 if X_tests is not None else None)
+    if vox_mesh is not None:
+        from litcoder_core_tpu.parallel.mesh import replicate, shard_voxels
+        from litcoder_core_tpu.parallel.step import pad_voxels
+
+        if voxel_chunk_size is not None:
+            logger.info(
+                "mesh sharding replaces voxel chunking; ignoring "
+                "voxel_chunk_size=%d (each device holds 1/%d of the "
+                "voxel axis)", voxel_chunk_size, vox_mesh.devices.size,
+            )
+            voxel_chunk_size = None
+        axis = vox_mesh.axis_names[0]
+        Y_j, _ = pad_voxels(Y_j, vox_mesh.devices.size)
+        Y_j = shard_voxels(Y_j, vox_mesh, axis=axis)
+        Xs_j = [replicate(X_j, vox_mesh) for X_j in Xs_j]
+        if y_test_j is not None:
+            y_test_j, _ = pad_voxels(y_test_j, vox_mesh.devices.size)
+            y_test_j = shard_voxels(y_test_j, vox_mesh, axis=axis)
+            X_tests_j = [replicate(Xt, vox_mesh) for Xt in X_tests_j]
+        logger.info(
+            "stacked voxel-sharded fit: %d voxels (+%d pad) over %d "
+            "devices", V, Y_j.shape[1] - V, vox_mesh.devices.size,
+        )
+
+    def _best_idx(best_values: jnp.ndarray):
+        """(V,) index of each voxel's selected alpha in the shared grid,
+        sharded like the responses (the per-voxel-index refit kernel's
+        selection input must stay columnwise)."""
+        b = np.asarray(best_values)
+        idx = np.argmax(alphas[None, :] == b[:, None], axis=1).astype(
+            np.int32)
+        idx_j = jnp.asarray(idx)
+        if vox_mesh is not None:
+            idx_j = shard_voxels(idx_j, vox_mesh,
+                                 axis=vox_mesh.axis_names[0])
+        return idx_j
+
     fold_splits = create_folds(T, folding_type, n_inner_folds,
                                chunk_length, seed=seed)
 
@@ -279,16 +387,26 @@ def fit_stacked_ridge(
     )
     svd_method = "auto" if method in ("chol", "dual") else method
 
-    best_js, tests, all_alphas = [], [], []
-    for s, X_j in enumerate(Xs_j):
-        best_j, y_pred_t, best = _space_alphas_and_test(
-            X_j, Y_j, fold_splits, alphas, normalpha, use_corr, singcutoff,
-            method, None if X_tests is None else X_tests[s], chol_oof,
-            voxel_chunk_size,
-        )
-        best_js.append(best_j)
-        tests.append(y_pred_t)
-        all_alphas.append(best)
+    from litcoder_core_tpu.utils.profiling import StageTimer
+
+    timer = StageTimer()
+    best_js, tests, all_alphas, best_idxs = [], [], [], []
+    with timer.stage("per_space_search_and_test_refit"):
+        for s, X_j in enumerate(Xs_j):
+            best_j, y_pred_t, best = _space_alphas_and_test(
+                X_j, Y_j, fold_splits, alphas, normalpha, use_corr,
+                singcutoff, method,
+                None if X_tests_j is None else X_tests_j[s], chol_oof,
+                voxel_chunk_size,
+                best_idx_fn=_best_idx if vox_mesh is not None else None,
+            )
+            best_js.append(best_j)
+            tests.append(y_pred_t)
+            all_alphas.append(best)
+            best_idxs.append(_best_idx(best) if vox_mesh is not None
+                             else None)
+        if tests[0] is not None:
+            jax.block_until_ready(tests)
 
     # Per-fold accumulation of the QP terms: each fold refits every space
     # on its train rows (per-voxel alphas fixed by the space's own search)
@@ -299,13 +417,28 @@ def fit_stacked_ridge(
     # extra memory is the S per-space (Tva, V) prediction buffers. That
     # is what keeps whole-brain V on one chip.
     S = len(Xs)
-    A = jnp.zeros((V, S, S), jnp.float32)
-    b = jnp.zeros((V, S), jnp.float32)
+    # QP terms accumulate VOXEL-LAST — (S, S, V)/(S, V) — so every update
+    # is columnwise in V and a voxel-sharded Y keeps the whole accumulation
+    # local; the (V, S, S) layout the solver wants is an axis permutation
+    # (no data movement across shards). Created sharded under a mesh so the
+    # at[].add updates never mix placements.
+    V_pad = Y_j.shape[1]
+    A_sv = jnp.zeros((S, S, V_pad), jnp.float32)
+    b_sv = jnp.zeros((S, V_pad), jnp.float32)
+    if vox_mesh is not None:
+        A_sv = shard_voxels(A_sv, vox_mesh, axis=vox_mesh.axis_names[0])
+        b_sv = shard_voxels(b_sv, vox_mesh, axis=vox_mesh.axis_names[0])
     n_rows_used = 0
+    timer_cm = timer.stage("oof_refits_and_qp_accumulation")
+    timer_cm.__enter__()
     for tr, va in fold_splits:
         preds = []
         for s, X_j in enumerate(Xs_j):
-            if chol_oof:
+            if chol_oof and vox_mesh is not None:
+                preds.append(_pervoxel_chol_pred(
+                    X_j[tr], X_j[va], Y_j[tr], alphas, best_idxs[s],
+                    normalpha))
+            elif chol_oof:
                 preds.append(_grouped_chol_pred(
                     X_j[tr], X_j[va], Y_j[tr], all_alphas[s], normalpha))
             else:
@@ -316,31 +449,52 @@ def fit_stacked_ridge(
                 preds.append(predict(X_j[va], wt))
         Yva = Y_j[va]
         for i in range(S):
-            b = b.at[:, i].add(_colwise_dot(preds[i], Yva))
+            b_sv = b_sv.at[i].add(_colwise_dot(preds[i], Yva))
             for j in range(i, S):
                 aij = _colwise_dot(preds[i], preds[j])
-                A = A.at[:, i, j].add(aij)
+                A_sv = A_sv.at[i, j].add(aij)
                 if j > i:
-                    A = A.at[:, j, i].add(aij)
+                    A_sv = A_sv.at[j, i].add(aij)
         n_rows_used += len(va)
+    jax.block_until_ready((A_sv, b_sv))
+    timer_cm.__exit__(None, None, None)
     if n_rows_used < T:
         # Rows in no validation fold (e.g. chunked remainders) carry no
         # out-of-fold prediction; they simply never enter the QP sums.
         logger.info("stacking: %d/%d training rows outside all validation "
                     "folds are excluded from the blend fit",
                     T - n_rows_used, T)
-    w = simplex_lsq(A, b, n_iter=n_iter)             # (V, S)
-    stack_weights = np.asarray(w)
-    best_alphas = np.stack(all_alphas)               # (S, V)
+    with timer.stage("blend_fista"):
+        w = simplex_lsq(jnp.moveaxis(A_sv, -1, 0), b_sv.T,
+                        n_iter=n_iter)               # (V_pad, S)
+        stack_weights = np.asarray(w)[:V]            # pad stripped
+    best_alphas = np.stack(all_alphas)[:, :V]        # (S, V)
 
-    metrics: Dict = {"stack_weights": stack_weights.tolist()}
+    # Summary stats only: embedding the full (V, S) list made every
+    # metrics JSON tens of MB at whole-brain V (ADVICE r3). The full
+    # per-voxel array is the second RETURN value (and is what ModelSaver
+    # persists as the model's weights).
+    dominant = np.bincount(np.argmax(stack_weights, axis=1),
+                           minlength=S) / max(V, 1)
+    _record_path(oof_refit=(
+        "pervoxel_chol" if chol_oof and vox_mesh is not None
+        else ("grouped_chol" if chol_oof else "spectral")))
+    metrics: Dict = {
+        "solver_paths": dict(_LAST_PATHS),
+        "stack_weights_mean": stack_weights.mean(axis=0).tolist(),
+        "stack_weights_median": np.median(stack_weights, axis=0).tolist(),
+        "stack_dominant_share": dominant.tolist(),
+    }
     if X_tests is not None:
-        # Accumulate the blend without stacking (S, Tp, V).
-        y_pred = sum(w[:, s][None, :] * tests[s] for s in range(S))
-        y_test_j = jnp.asarray(y_test, jnp.float32)
-        corr = np.asarray(pearson_r(y_test_j, y_pred))
-        per_space = [np.asarray(pearson_r(y_test_j, p)) for p in tests]
-        pval = pearson_pvalues_f64(corr, y_test.shape[0])
+        with timer.stage("test_scoring"):
+            # Accumulate the blend without stacking (S, Tp, V); everything
+            # is columnwise (w and the test preds shard identically under
+            # a mesh). Decision statistics strip the sharding pad first.
+            y_pred = sum(w[:, s][None, :] * tests[s] for s in range(S))
+            corr = np.asarray(pearson_r(y_test_j, y_pred))[:V]
+            per_space = [np.asarray(pearson_r(y_test_j, p))[:V]
+                         for p in tests]
+            pval = pearson_pvalues_f64(corr, y_test.shape[0])
         significant, corrected = bh_fdrcorrection_np(pval, alpha=alpha_fdr)
         metrics.update(_create_metrics_dict(
             corr, pval, corrected, significant, best_alphas,
@@ -353,20 +507,30 @@ def fit_stacked_ridge(
             ["%.3f" % float(np.median(p)) for p in per_space],
             metrics["n_significant"], V,
         )
+    metrics["stage_seconds"] = timer.report()
     return metrics, stack_weights, best_alphas
 
 
 class StackedRidgeModel:
     """Object API over fit_stacked_ridge, mirroring BandedRidgeModel:
     fit_predict takes feature SPACES and returns
-    (metrics, stack_weights (V, S), best_alphas (S, V))."""
+    (metrics, stack_weights (V, S), best_alphas (S, V)).
 
-    def __init__(self, model_name: str = "stacked_ridge", seed: int = 0):
+    `mesh`/`n_devices` make multi-chip a first-class model option, same as
+    NestedCVModel/BandedRidgeModel: every voxel-axis tensor of the stacked
+    fit shards over a 1-D device mesh."""
+
+    def __init__(self, model_name: str = "stacked_ridge", seed: int = 0,
+                 mesh=None, n_devices: Optional[int] = None):
         self.model_name = model_name
         self.seed = seed
+        self.mesh = mesh
+        self.n_devices = n_devices
 
     def fit_predict(self, feature_spaces, targets, X_tests=None,
                     y_test=None, **kwargs):
         kwargs.setdefault("seed", self.seed)
+        kwargs.setdefault("mesh", self.mesh)
+        kwargs.setdefault("n_devices", self.n_devices)
         return fit_stacked_ridge(feature_spaces, targets, X_tests=X_tests,
                                  y_test=y_test, **kwargs)

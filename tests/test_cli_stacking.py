@@ -17,6 +17,9 @@ from tests.test_cli_banded import (
 
 def _stacking_config(tmp_path, asm_path, **overrides):
     config = _banded_config(tmp_path, asm_path, banded=False, stacking=True)
+    # The banded base sets a non-default n_gammas, which stacking now
+    # REJECTS as a silently-ignored flag (ADVICE r3).
+    config.pop("n_gammas", None)
     config.update(overrides)
     return config
 
@@ -40,9 +43,12 @@ def test_stacking_cli_wordrate_lm(tmp_path):
     )
     metrics = run(config)
     assert np.isfinite(metrics["median_score"])
-    w = np.asarray(metrics["stack_weights"])
-    assert w.shape == (12, 2)
-    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-4)
+    # Metrics carry per-space SUMMARIES (full (V, S) weights are the
+    # model's returned/saved weights, not a metrics payload — ADVICE r3).
+    w_mean = np.asarray(metrics["stack_weights_mean"])
+    assert w_mean.shape == (2,)
+    np.testing.assert_allclose(w_mean.sum(), 1.0, atol=1e-4)
+    assert np.asarray(metrics["stack_dominant_share"]).sum() == 1.0
     assert len(metrics["per_space_test_r"]) == 2
     # The word-rate space carries the signal (TRUE_WEIGHTS in the story
     # fixtures), so the blend should recover it.
@@ -69,8 +75,12 @@ def test_stacking_rejects_unsupported_flags(tmp_path):
     save_assembly(assembly, asm_path)
     base = dict(modalities=["wordrate", "wordrate"],
                 model_names=["wordrate", "wordrate"])
-    with pytest.raises(ValueError, match="n_devices"):
-        run(_stacking_config(tmp_path, asm_path, n_devices=8, **base))
+    # Flags that are silently ignored by the stacked fit must be rejected
+    # rather than accepted (ADVICE r3).
+    with pytest.raises(ValueError, match="n_permutations"):
+        run(_stacking_config(tmp_path, asm_path, n_permutations=99, **base))
+    with pytest.raises(ValueError, match="n_gammas"):
+        run(_stacking_config(tmp_path, asm_path, n_gammas=5, **base))
     with pytest.raises(ValueError, match="normalize"):
         run(_stacking_config(tmp_path, asm_path, normalize_features=True,
                              **base))
