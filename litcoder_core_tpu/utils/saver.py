@@ -31,8 +31,16 @@ class ModelSaver:
             json.dumps(hyperparams, sort_keys=True, default=str).encode()
         ).hexdigest()[:8]
         timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
-        run_dir = self.base_dir / f"run_{timestamp}_{run_hash}"
-        run_dir.mkdir(parents=True, exist_ok=True)
+        # Collision-proof: two same-hyperparam runs in the same second
+        # (e.g. fast sweep grid points) must not silently overwrite each
+        # other's artifacts — suffix a counter instead.
+        base = f"run_{timestamp}_{run_hash}"
+        run_dir = self.base_dir / base
+        n = 1
+        while run_dir.exists():
+            run_dir = self.base_dir / f"{base}-{n}"
+            n += 1
+        run_dir.mkdir(parents=True)
         with open(run_dir / "hyperparams.json", "w") as f:
             json.dump(hyperparams, f, indent=2, default=str)
         return run_dir
