@@ -50,6 +50,12 @@ def main():
          + rng.normal(size=(T, V)).astype(np.float32)).astype(np.float32)
     alphas = np.logspace(-1, 8, A)
 
+    from _artifacts import ensure_backend
+
+
+    ensure_backend()  # fail fast on a down tunnel
+
+
     import jax
 
     from litcoder_core_tpu.models.nested_cv import fit_nested_cv

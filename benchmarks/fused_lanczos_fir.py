@@ -35,6 +35,12 @@ def main():
     data_times = np.sort(rng.uniform(0, T_TR * 2.0, T_W)).astype(np.float32)
     tr_times = (np.arange(T_TR) * 2.0 + 1.0).astype(np.float32)
 
+    from _artifacts import ensure_backend
+
+
+    ensure_backend()  # fail fast on a down tunnel
+
+
     import jax
     import jax.numpy as jnp
 

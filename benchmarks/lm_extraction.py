@@ -86,6 +86,12 @@ def main():
     bf16_rel_err = float(np.linalg.norm(a - b)
                          / max(np.linalg.norm(a), 1e-6))
 
+    from _artifacts import ensure_backend
+
+
+    ensure_backend()  # fail fast on a down tunnel
+
+
     import jax
 
     n = args.n_words

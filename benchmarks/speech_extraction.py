@@ -69,6 +69,12 @@ def main():
         np.asarray(feats).sum()  # force
         return time.perf_counter() - t0, n
 
+    from _artifacts import ensure_backend
+
+
+    ensure_backend()  # fail fast on a down tunnel
+
+
     import jax
 
     t_loop, n = timed(make(1))     # reference style: one window per forward
