@@ -252,6 +252,21 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
                 "alpha >= 0.03, singcutoff <= 1e-10); running unchunked"
             )
 
+    if chunk and complement and scan == "chol":
+        # Whole-brain chunked scan as PYTHON-level (fold, gamma, chunk)
+        # dispatches: the in-jit version threads the full (T, V) response
+        # through three nested while loops (folds x gammas x chunks), and
+        # XLA's copy insertion materializes a second full-size Y — a
+        # compile-time OOM at V=95556 (26 GB asked of a 16 GB chip).
+        # Splitting at the Python level keeps Y an ARGUMENT read only by
+        # top-level slices/gathers (never loop state), reuses one compile
+        # per shape, and the voxel-independent solve factors still run
+        # once per (fold, gamma).
+        return _chol_scan_chunked(
+            Xc, Y_j, scales, inner_splits, alphas_j, normalpha, use_corr,
+            fast_scan, G_all, XtY_all, chunk,
+        )
+
     def call_fast(tr_idx, va_idx, c, n_c, off):
         return _score_gammas_fast(
             Xc, Y_j, scales, tr_idx, va_idx, alphas_j, normalpha,
@@ -351,6 +366,107 @@ def _bucket_width(n: int, minimum: int = 128) -> int:
     while b < n:
         b *= 2
     return b
+
+
+@partial(jax.jit, static_argnames=("normalpha",))
+def _chol_scan_solves(Xc, G_all, s, va, alphas, normalpha: bool):
+    """(A, D, Tva) voxel-independent solve factors for ONE (fold, gamma):
+    Z_a = (Gg + nal_a^2 I)^-1 (Xva * s)^T with Gg the gamma-scaled
+    complement-downdated training Gram. Computed once per (fold, gamma)
+    and shared by every voxel chunk (the solves were 'the scan's voxel-
+    independent cost' in the in-jit chunked path too)."""
+    from litcoder_core_tpu.models.ridge import lmax_dense
+
+    H = jax.lax.Precision.HIGHEST
+    Xva = Xc[va]
+    G_tr = G_all - jnp.dot(Xva.T, Xva, precision=H)
+    Gg = G_tr * (s[:, None] * s[None, :])
+    Xva_s = Xva * s[None, :]
+    if normalpha:
+        s0 = jnp.sqrt(jnp.maximum(lmax_dense(Gg), 0.0))
+        nal = alphas * s0
+    else:
+        nal = alphas
+    eye = jnp.eye(Gg.shape[0], dtype=jnp.float32)
+
+    def solve_alpha(na):
+        L = jnp.linalg.cholesky(Gg + (na * na) * eye)
+        Z = jax.scipy.linalg.solve_triangular(L, Xva_s.T, lower=True)
+        return jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
+
+    return jax.lax.map(solve_alpha, nal)  # (A, D, Tva)
+
+
+@partial(jax.jit, static_argnames=("chunk", "use_corr", "fast_scan"))
+def _chol_scan_score_chunk(Xc, Y, XtY_all, Z_all, s, va, c0, chunk: int,
+                           use_corr: bool, fast_scan: bool):
+    """(A, chunk) scores for one (fold, gamma, voxel-chunk) dispatch.
+
+    The full (T, V) response is touched ONLY by a top-level dynamic_slice
+    + row gather — never inside a loop — so XLA never copies it (the
+    compile-time OOM mode of the in-jit chunked scan). The per-alpha
+    predictions run as one batched (A, Tva, D) @ (D, chunk) matmul."""
+    from litcoder_core_tpu.models.ridge import _score_predictions
+    from litcoder_core_tpu.ops.stats import zscore
+
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
+    Ycol = jax.lax.dynamic_slice_in_dim(Y, c0, chunk, axis=1)  # (T, chunk)
+    Xva = Xc[va]
+    Yc = Ycol[va]                                              # (Tva, chunk)
+    XtY_c = (jax.lax.dynamic_slice_in_dim(XtY_all, c0, chunk, axis=1)
+             - jnp.dot(Xva.T, Yc, precision=sp))
+    sXtY_c = s[:, None] * XtY_c                                # (D, chunk)
+    zPc = zscore(Yc, axis=0)
+    Pvarc = jnp.var(Yc, axis=0, ddof=1)
+    pred = jnp.matmul(jnp.swapaxes(Z_all, 1, 2), sXtY_c[None, :, :],
+                      precision=sp)                            # (A, Tva, c)
+    return jax.vmap(
+        lambda p: _score_predictions(p, Yc, zPc, Pvarc, use_corr)
+    )(pred)
+
+
+def _chol_scan_chunked(Xc, Y_j, scales, inner_splits, alphas_j,
+                       normalpha: bool, use_corr: bool, fast_scan,
+                       G_all, XtY_all, chunk: int):
+    """(G, A, V) chunked Cholesky scan as Python-level dispatches.
+
+    Loop order fold -> gamma -> voxel chunk: the (A, D, Tva) solve factors
+    are computed once per (fold, gamma) and reused across chunks, while
+    the gamma-independent XtY chunk downdate is recomputed per gamma (a
+    single (D, Tva) x (Tva, chunk) matmul — cheap next to the predictions).
+    Each chunk's scores are blocked before the next enqueue: PJRT
+    allocates a dispatch's temp buffers at enqueue, so letting chunks
+    queue up stacks their ~GB prediction temps (the RESOURCE_EXHAUSTED
+    mode _refit_gamma_predict documents)."""
+    fast = bool(fast_scan)
+    n_g = int(scales.shape[0])
+    v_in = int(Y_j.shape[1])
+    n_full = v_in // chunk
+    tail = v_in - n_full * chunk
+    fold_means = None
+    for tr, va in inner_splits:
+        va_j = jnp.asarray(np.asarray(va))
+        per_gamma = []
+        for g in range(n_g):
+            s = scales[g]
+            Z_all = _chol_scan_solves(Xc, G_all, s, va_j, alphas_j,
+                                      normalpha)
+            parts = []
+            for c in range(n_full):
+                out = _chol_scan_score_chunk(
+                    Xc, Y_j, XtY_all, Z_all, s, va_j, c * chunk,
+                    chunk=chunk, use_corr=use_corr, fast_scan=fast)
+                parts.append(jax.block_until_ready(out))
+            if tail:
+                out = _chol_scan_score_chunk(
+                    Xc, Y_j, XtY_all, Z_all, s, va_j, n_full * chunk,
+                    chunk=tail, use_corr=use_corr, fast_scan=fast)
+                parts.append(jax.block_until_ready(out))
+            per_gamma.append(jnp.concatenate(parts, axis=-1))  # (A, V)
+        fold_sc = jnp.stack(per_gamma)                         # (G, A, V)
+        fold_means = fold_sc if fold_means is None else fold_means + fold_sc
+    return fold_means / jnp.float32(len(inner_splits))
 
 
 @partial(jax.jit,

@@ -207,7 +207,8 @@ def _score_predictions(pred, Presp, zPresp, Prespvar, use_corr: bool):
 
 def score_alpha_grid_woodbury(lam_u, P, UR0, Presp, nalphas,
                               use_corr: bool = True,
-                              fast_scan: bool = False):
+                              fast_scan: bool = False,
+                              alpha_batch: int | None = None):
     """(A, Vc) alpha-grid scores WITHOUT a per-fold eigensolve.
 
     Works in the eigenbasis of the fold-scheme UNION Gram G_u = Q L Q^T
@@ -236,25 +237,57 @@ def score_alpha_grid_woodbury(lam_u, P, UR0, Presp, nalphas,
         UR0: (D, Vc) Q^T (X_tr^T Y_tr).
         Presp: (Tva, Vc) validation responses.
         nalphas: (A,) normalized per-fold alphas.
+        alpha_batch: how many alphas to factor/solve/score TOGETHER.
+            Per-alpha lax.map steps leave the MXU idle between ten small
+            sequential Choleskys/solves; batching turns them into one
+            batched factorization and ONE (Ab*Tva, D) @ (D, Vc) prediction
+            matmul per chunk (~2x faster scans at bench shapes). The
+            caller budgets Ab against the (Ab, Tva, Vc) prediction buffer
+            (parallel/step.py); None keeps the memory-minimal one-alpha-
+            at-a-time behavior.
     """
     Presp = jnp.asarray(Presp, jnp.float32)
     zPresp = zscore(Presp, axis=0)
     Prespvar = jnp.var(Presp, axis=0, ddof=1)
     scan_precision = jax.lax.Precision.DEFAULT if fast_scan else _HIGHEST
     lam = jnp.maximum(jnp.asarray(lam_u, jnp.float32), 0.0)
-    eye = jnp.eye(P.shape[0], dtype=jnp.float32)
+    t_va, d_dim = P.shape
+    eye = jnp.eye(t_va, dtype=jnp.float32)
+    nalphas = jnp.asarray(nalphas, jnp.float32)
+    a_n = int(nalphas.shape[0])
+    ab = a_n if alpha_batch is None else max(1, min(int(alpha_batch), a_n))
 
-    def score_one_alpha(na):
-        d = 1.0 / (lam + na * na)
-        Pt = P * d[None, :]
-        K = jnp.dot(Pt, P.T, precision=_HIGHEST)
-        L = jnp.linalg.cholesky(eye - K)
+    def score_batch(nal_b):
+        """(Ab,) alphas -> (Ab, Vc) scores, all Ab factored/solved/scored
+        as one batched program."""
+        d = 1.0 / (lam[None, :] + (nal_b * nal_b)[:, None])  # (Ab, D)
+        Pt = P[None, :, :] * d[:, None, :]                   # (Ab, Tva, D)
+        K = jnp.matmul(Pt, P.T[None, :, :], precision=_HIGHEST)
+        L = jnp.linalg.cholesky(eye[None, :, :] - K)         # batched chol
         Z = jax.scipy.linalg.solve_triangular(L, Pt, lower=True)
-        M = jax.scipy.linalg.solve_triangular(L.T, Z, lower=False)
-        pred = jnp.dot(M, UR0, precision=scan_precision)
-        return _score_predictions(pred, Presp, zPresp, Prespvar, use_corr)
+        M = jax.scipy.linalg.solve_triangular(
+            jnp.swapaxes(L, -1, -2), Z, lower=False)         # (Ab, Tva, D)
+        pred = jnp.dot(M.reshape(-1, d_dim), UR0,
+                       precision=scan_precision)             # (Ab*Tva, Vc)
+        pred = pred.reshape(-1, t_va, pred.shape[-1])
+        return jax.vmap(
+            lambda p: _score_predictions(p, Presp, zPresp, Prespvar,
+                                         use_corr)
+        )(pred)
 
-    return jax.lax.map(score_one_alpha, jnp.asarray(nalphas, jnp.float32))
+    if ab == a_n:
+        return score_batch(nalphas)
+    if ab == 1:
+        return jax.lax.map(lambda na: score_batch(na[None])[0], nalphas)
+    # Chunked: pad the grid to a multiple of Ab with repeats of the last
+    # alpha (their scores are sliced off), lax.map over chunks.
+    n_chunks = -(-a_n // ab)
+    pad = n_chunks * ab - a_n
+    nal_p = (jnp.concatenate([nalphas,
+                              jnp.broadcast_to(nalphas[-1:], (pad,))])
+             if pad else nalphas)
+    out = jax.lax.map(score_batch, nal_p.reshape(n_chunks, ab))
+    return out.reshape(n_chunks * ab, -1)[:a_n]
 
 
 def _lanczos_lmax(matvec, v0, m: int):
@@ -319,6 +352,27 @@ def lmax_downdate(lam_u, P, m: int = 24):
 
     def matvec(w):
         return lam * w - jnp.dot(
+            P.T, jnp.dot(P, w, precision=_HIGHEST), precision=_HIGHEST
+        )
+
+    v0 = jnp.zeros(lam.shape[0], jnp.float32).at[jnp.argmax(lam)].set(1.0)
+    return _lanczos_lmax(matvec, v0, m)
+
+
+def lmax_update(lam_u, P, m: int = 24):
+    """Largest eigenvalue of diag(lam_u) + P^T P via Lanczos.
+
+    The UPDATE twin of lmax_downdate: with P = X_rem Q holding the few
+    training rows OUTSIDE the fold-scheme union rotated into the union
+    eigenbasis, diag(lam_u) + P^T P is the FULL training Gram — this gives
+    the refit's `normalpha` scale S[0] = sqrt(lmax) without a second
+    eigendecomposition (parallel/step.py fused refit). Same warm start as
+    the downdate: the union top eigendirection (adding ~2% of the rows
+    barely rotates it)."""
+    lam = jnp.asarray(lam_u, jnp.float32)
+
+    def matvec(w):
+        return lam * w + jnp.dot(
             P.T, jnp.dot(P, w, precision=_HIGHEST), precision=_HIGHEST
         )
 

@@ -131,6 +131,19 @@ def nested_cv_step(
     )
 
 
+def _woodbury_alpha_batch(n_folds: int, t_va: int, n_vox: int, a_n: int,
+                          budget_bytes: float = 3.0e9) -> int:
+    """How many alphas the woodbury scan factors/solves/scores together.
+
+    The scan runs under vmap over folds, so one batched alpha step
+    materializes an (F, Ab, Tva, V) f32 prediction block (plus ~50% for
+    the scoring reduction temps XLA does not fuse away). 3 GB keeps the
+    bench problem at Ab=5 (two chunks) while whole-brain V=95556 degrades
+    to Ab=1 — exactly the old memory-minimal per-alpha behavior."""
+    per_alpha = n_folds * t_va * n_vox * 4.0 * 1.5
+    return max(1, min(a_n, int(budget_bytes // max(per_alpha, 1.0))))
+
+
 def _resolve_scan_method(method: str, complement: bool, alphas,
                          normalpha: bool,
                          singcutoff: float = 1e-10) -> str:
@@ -178,13 +191,31 @@ def _scan_best_alphas(
     """(V,) selected alphas: the inner-CV fold scan + per-voxel argmax —
     the SCAN stage of the fused step, exposed as its own jitted program so
     the benchmark can time it separately (bench.py stage decomposition);
-    nested_cv_step inlines it into the single fused program."""
+    nested_cv_step inlines _scan_core (which also hands the union
+    eigendecomposition to the refit) into the single fused program."""
+    return _scan_core(X, Y, alphas, train_idx, val_idx, normalpha,
+                      use_corr, single_alpha, singcutoff, method,
+                      complement, scan, fast_scan)[0]
+
+
+def _scan_core(
+    X, Y, alphas, train_idx, val_idx,
+    normalpha: bool, use_corr: bool, single_alpha: bool, singcutoff: float,
+    method: str, complement: bool, scan: str = "eigh",
+    fast_scan: bool = False,
+):
+    """Fold scan + per-voxel argmax, returning (best_alphas, aux): aux is
+    the woodbury scan's reusable union products (lam_u, Q, XtY_u, union)
+    — the fused refit corrects them by the few rows outside the fold
+    union instead of paying a second eigendecomposition — and None on
+    every other scan path."""
     X = jnp.asarray(X, jnp.float32)
     Y = jnp.asarray(Y, jnp.float32)
     alphas = jnp.asarray(alphas, jnp.float32)
     # 'woodbury'/'chol' name SCAN kernels, not spectral methods: any
     # per-fold spectral fallback must still pick eigh/svd by shape.
     svd_method = "auto" if method in ("woodbury", "chol") else method
+    aux = None
 
     # --- inner CV: vmapped over folds, whole alpha grid on device ---------
     if complement:
@@ -214,6 +245,15 @@ def _scan_best_alphas(
             # warm-started Lanczos (lmax_downdate) — removes the F per-fold
             # eigensolves that dominate the eigh scan's wall clock.
             lam_u, Q = jnp.linalg.eigh(G_union)
+            aux = (lam_u, Q, XtY_u, union)
+            # Batch the per-(fold, alpha) factor/solve/score: the bench
+            # stage decomposition showed the sequential per-alpha steps ARE
+            # the wall (scan_alpha_grid_s ~= the whole scan stage). Budget
+            # the alpha batch against the (F, Ab, Tva, V) prediction
+            # buffer so whole-brain V degrades back to one-at-a-time.
+            ab = _woodbury_alpha_batch(
+                int(val_idx.shape[0]), int(val_idx.shape[1]),
+                int(Y.shape[1]), int(alphas.shape[0]))
 
             def one_fold(va, vp):
                 Xva = X[va]
@@ -228,7 +268,8 @@ def _scan_best_alphas(
                     nal = alphas
                 return score_alpha_grid_woodbury(lam_u, P, UR0, Yva, nal,
                                                  use_corr=use_corr,
-                                                 fast_scan=fast_scan)
+                                                 fast_scan=fast_scan,
+                                                 alpha_batch=ab)
         elif scan == "chol":
             # ZERO eigensolves anywhere in the scan: per-(fold, alpha)
             # Cholesky of the downdated Gram with normalpha's S[0] from a
@@ -308,7 +349,87 @@ def _scan_best_alphas(
         best_alphas = jnp.broadcast_to(alphas[best_idx], (Y.shape[1],))
     else:
         best_alphas = alphas[jnp.argmax(mean_corrs, axis=0)]  # (V,)
-    return best_alphas
+    return best_alphas, aux
+
+
+@partial(jax.jit, static_argnames=("normalpha",))
+def _refit_union_woodbury(X, Y, lam_u, Q, XtY_u, union, best_alphas,
+                          alphas, normalpha: bool):
+    """(D, V) per-voxel refit weights from the SCAN's union products — no
+    second eigensolve, no X^T Y recompute.
+
+    The full training Gram is the fold-union Gram plus the k = T - F*Tva
+    rows the chunked folding leaves outside every val block (k is STATIC
+    from shapes). In the union eigenbasis, per-voxel weights are
+
+        w_v = Q (diag(lam) + nal_v^2 I + Pr^T Pr)^-1 q_v,
+
+    with Pr = X_rem Q (k, D) and q = Q^T X^T Y = Q^T XtY_u + Pr^T Y_rem.
+    Woodbury on the rank-k term turns the per-voxel solve into elementwise
+    shrinkage (exactly as cheap as the spectral refit's shrink matrix)
+    plus A tiny (k, k) Cholesky systems — one per grid alpha, selected
+    per voxel by its argmax alpha. Replaces the refit's own eigh of the
+    full Gram (~10 D^3 FLOPs far off the MXU roofline — it was the refit
+    stage's wall) and reuses the scan's XtY_u (the (T, D, V) cross-product
+    was the refit's second-largest matmul). Engages under the same gates
+    as the woodbury scan (strictly positive normalized alphas, negligible
+    singcutoff), where it is algebraically identical to the spectral
+    refit (ridge_fit_from_svd); the normalpha scale comes from a rank-k
+    Lanczos update (models.ridge.lmax_update)."""
+    from litcoder_core_tpu.models.ridge import lmax_update
+
+    H = jax.lax.Precision.HIGHEST
+    t_all, d_dim = X.shape
+    k = t_all - int(union.shape[0])
+    lam = jnp.maximum(lam_u, 0.0)
+    alphas = jnp.asarray(alphas, jnp.float32)
+    a_n = int(alphas.shape[0])
+
+    if k > 0:
+        # Remainder rows = arange(T) minus the union; the COUNT is static,
+        # so a stable argsort over the union mask extracts them on device.
+        in_union = jnp.zeros(t_all, jnp.float32).at[union].set(1.0)
+        rem = jnp.argsort(in_union)[:k]
+        Pr = jnp.dot(X[rem], Q, precision=H)                  # (k, D)
+        q = (jnp.dot(Q.T, XtY_u, precision=H)
+             + jnp.dot(Pr.T, Y[rem], precision=H))            # (D, V)
+        s0 = jnp.sqrt(jnp.maximum(lmax_update(lam, Pr), 0.0))
+    else:
+        q = jnp.dot(Q.T, XtY_u, precision=H)
+        s0 = jnp.sqrt(jnp.max(lam))
+
+    nal_v = best_alphas * s0 if normalpha else best_alphas    # (V,)
+    dinv = 1.0 / (lam[:, None] + (nal_v * nal_v)[None, :])    # (D, V)
+    t1 = dinv * q
+    if k == 0:
+        return jnp.dot(Q, t1, precision=H)
+
+    nal_a = alphas * s0 if normalpha else alphas              # (A,)
+    d_a = 1.0 / (lam[None, :] + (nal_a * nal_a)[:, None])     # (A, D)
+    Pd = Pr[None, :, :] * d_a[:, None, :]                     # (A, k, D)
+    S = (jnp.eye(k, dtype=jnp.float32)[None]
+         + jnp.matmul(Pd, Pr.T[None, :, :], precision=H))     # (A, k, k)
+    L = jnp.linalg.cholesky(S)
+    u = jnp.dot(Pr, t1, precision=H)                          # (k, V)
+    # Apply S_a^-1 as an explicit (k, k) inverse-matmul rather than a
+    # triangular solve against the V-sharded RHS: GSPMD all-gathers a
+    # sharded triangular_solve RHS (a matmul shards cleanly), and S >= I
+    # with kappa ~ 1/min(alpha)^2 under the woodbury gates, so the
+    # explicit inverse is as accurate as the solve here.
+    eye_k = jnp.broadcast_to(jnp.eye(k, dtype=jnp.float32)[None],
+                             (a_n, k, k))
+    Sinv = jax.scipy.linalg.cho_solve((L, True), eye_k)       # (A, k, k)
+    Zb = jnp.matmul(Sinv, jnp.broadcast_to(u[None], (a_n,) + u.shape),
+                    precision=H)                              # (A, k, V)
+    # Per-voxel (k,) correction under the voxel's OWN alpha: one-hot on
+    # the FIRST grid match (argmax semantics — robust to duplicate grid
+    # values, and exact because best_alphas are grid values).
+    sel = best_alphas[None, :] == alphas[:, None]             # (A, V)
+    onehot = jax.nn.one_hot(jnp.argmax(sel, axis=0), a_n,
+                            axis=0, dtype=Zb.dtype)           # (A, V)
+    z = jnp.sum(Zb * onehot[:, None, :], axis=0)              # (k, V)
+    w_tilde = t1 - dinv * jnp.dot(Pr.T, z, precision=H)
+    return jnp.dot(Q, w_tilde, precision=H)                   # (D, V)
 
 
 @partial(jax.jit, static_argnames=("normalpha", "singcutoff", "method"))
@@ -348,11 +469,23 @@ def _nested_cv_step_impl(
     """scan -> refit -> score, inlined by XLA into ONE fused program (jit
     of jit inlines; the pieces are also independently jitted for the
     benchmark's stage decomposition)."""
-    best_alphas = _scan_best_alphas(
+    best_alphas, aux = _scan_core(
         X, Y, alphas, train_idx, val_idx, normalpha, use_corr,
         single_alpha, singcutoff, method, complement, scan, fast_scan,
     )
-    weights = _refit_full(X, Y, best_alphas, normalpha, singcutoff, method)
+    # The woodbury scan's union eigendecomposition doubles as the refit's
+    # factorization (rank-k corrected); a large remainder outside the fold
+    # union (only possible with hand-built folds) falls back to the
+    # standalone spectral refit.
+    k_rem = (X.shape[0] - aux[3].shape[0]) if aux is not None else None
+    if (aux is not None and singcutoff <= 1e-10
+            and k_rem <= max(256, X.shape[0] // 8)):
+        lam_u, Q, XtY_u, union = aux
+        weights = _refit_union_woodbury(X, Y, lam_u, Q, XtY_u, union,
+                                        best_alphas, alphas, normalpha)
+    else:
+        weights = _refit_full(X, Y, best_alphas, normalpha, singcutoff,
+                              method)
     correlations, pvalues = _predict_and_score(X_test, Y_test, weights)
     return NestedCVResult(correlations, pvalues, best_alphas, weights)
 
