@@ -87,6 +87,12 @@ def main():
     BAND_DIMS = [3072, 2048, 4]
     V = 95556 if args.whole_brain else 20484
 
+    from _artifacts import ensure_backend
+
+    # Probe BEFORE the ~25-min whole-brain data build: a retry loop on a
+    # flapping tunnel must fail in seconds, not after the build.
+    ensure_backend()  # fail fast instead of hanging on a down tunnel
+
     rng = np.random.default_rng(0)
     print("building data...", flush=True)
     Xs = [rng.normal(size=(T, d)).astype(np.float32) for d in BAND_DIMS]
@@ -100,10 +106,6 @@ def main():
     y_test = sum(X @ w for X, w in zip(X_tests, wt)) @ mix
     y_test = (y_test + rng.normal(size=(TP, V))).astype(np.float32)
     alphas = np.logspace(-1, 8, A)
-
-    from _artifacts import ensure_backend
-
-    ensure_backend()  # fail fast instead of hanging on a down tunnel
 
     import jax
 

@@ -36,6 +36,12 @@ def main():
     BAND_DIMS = [3072, 2048, 4]
     V = 95556 if args.whole_brain else 20484
 
+    from _artifacts import ensure_backend
+
+    # Probe BEFORE the data build: a retry loop on a flapping tunnel must
+    # fail in seconds, not after the build.
+    ensure_backend()  # fail fast instead of hanging on a down tunnel
+
     rng = np.random.default_rng(0)
     print("building data...", flush=True)
     Xs = [rng.normal(size=(T, d)).astype(np.float32) / np.sqrt(d)
@@ -49,10 +55,6 @@ def main():
     y_test = sum(X @ m for X, m in zip(X_tests, mix))
     y_test = (y_test + 0.5 * rng.normal(size=(TP, V))).astype(np.float32)
     alphas = np.logspace(-1, 8, A)
-
-    from _artifacts import ensure_backend
-
-    ensure_backend()  # fail fast instead of hanging on a down tunnel
 
     import jax
 
