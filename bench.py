@@ -161,9 +161,20 @@ def stage_breakdown(X, Y, X_test, Y_test, alphas, train_idx, val_idx):
 
     lam_u, Q, XtY_u, union = jax.block_until_ready(
         _union_products(X, Y, val_idx))
+    # The fused step runs the union refit only under its gate
+    # (_nested_cv_step_impl: singcutoff <= 1e-10 and
+    # 0 <= k_rem <= max(256, T//8)); assert it holds for the bench
+    # problem so this stage times the refit the fused program actually
+    # runs (and flops_estimate credits the right refit).
+    k_rem = X.shape[0] - union.shape[0]
+    assert kw["singcutoff"] <= 1e-10 and \
+        0 <= k_rem <= max(256, X.shape[0] // 8), (
+            "bench problem no longer takes the union-woodbury refit path; "
+            "update stage_breakdown/flops_estimate to match the fused gate"
+        )
     refit_s, weights = timed(
         lambda: _refit_union_woodbury(X, Y, lam_u, Q, XtY_u, union, best,
-                                      alphas, True))
+                                      alphas, kw["normalpha"]))
     score_s, _ = timed(lambda: _predict_and_score(X_test, Y_test, weights))
     a_n = int(alphas.shape[0])
     per_alpha = max(scan_s - scan_a1_s, 0.0) / max(a_n - 1, 1)

@@ -255,7 +255,7 @@ def score_alpha_grid_woodbury(lam_u, P, UR0, Presp, nalphas,
     eye = jnp.eye(t_va, dtype=jnp.float32)
     nalphas = jnp.asarray(nalphas, jnp.float32)
     a_n = int(nalphas.shape[0])
-    ab = a_n if alpha_batch is None else max(1, min(int(alpha_batch), a_n))
+    ab = 1 if alpha_batch is None else max(1, min(int(alpha_batch), a_n))
 
     def score_batch(nal_b):
         """(Ab,) alphas -> (Ab, Vc) scores, all Ab factored/solved/scored

@@ -72,6 +72,7 @@ def nested_cv_step(
     normalpha: bool = True, use_corr: bool = True,
     single_alpha: bool = False, singcutoff: float = 1e-10,
     method: str = "auto", fast_scan: bool = False,
+    voxel_shards: int = 1,
 ) -> NestedCVResult:
     """Full train/test nested-CV ridge fit in one XLA program.
 
@@ -127,20 +128,25 @@ def nested_cv_step(
         X, Y, X_test, Y_test, alphas, train_idx, val_idx,
         normalpha=normalpha, use_corr=use_corr, single_alpha=single_alpha,
         singcutoff=singcutoff, method=method, complement=complement,
-        scan=scan, fast_scan=fast_scan,
+        scan=scan, fast_scan=fast_scan, voxel_shards=voxel_shards,
     )
 
 
 def _woodbury_alpha_batch(n_folds: int, t_va: int, n_vox: int, a_n: int,
-                          budget_bytes: float = 3.0e9) -> int:
+                          budget_bytes: float = 3.0e9,
+                          voxel_shards: int = 1) -> int:
     """How many alphas the woodbury scan factors/solves/scores together.
 
     The scan runs under vmap over folds, so one batched alpha step
     materializes an (F, Ab, Tva, V) f32 prediction block (plus ~50% for
     the scoring reduction temps XLA does not fuse away). 3 GB keeps the
-    bench problem at Ab=5 (two chunks) while whole-brain V=95556 degrades
-    to Ab=1 — exactly the old memory-minimal per-alpha behavior."""
-    per_alpha = n_folds * t_va * n_vox * 4.0 * 1.5
+    bench problem (F=5, Tva=800, V=20484) at Ab=6 (two chunks) while
+    whole-brain V=95556 degrades to Ab=1 — exactly the old
+    memory-minimal per-alpha behavior. When the voxel axis is sharded
+    over a mesh, each device holds only V/voxel_shards columns of the
+    prediction block, so the budget divides accordingly."""
+    per_alpha = (n_folds * t_va * (n_vox / max(voxel_shards, 1))
+                 * 4.0 * 1.5)
     return max(1, min(a_n, int(budget_bytes // max(per_alpha, 1.0))))
 
 
@@ -202,7 +208,7 @@ def _scan_core(
     X, Y, alphas, train_idx, val_idx,
     normalpha: bool, use_corr: bool, single_alpha: bool, singcutoff: float,
     method: str, complement: bool, scan: str = "eigh",
-    fast_scan: bool = False,
+    fast_scan: bool = False, voxel_shards: int = 1,
 ):
     """Fold scan + per-voxel argmax, returning (best_alphas, aux): aux is
     the woodbury scan's reusable union products (lam_u, Q, XtY_u, union)
@@ -253,7 +259,8 @@ def _scan_core(
             # buffer so whole-brain V degrades back to one-at-a-time.
             ab = _woodbury_alpha_batch(
                 int(val_idx.shape[0]), int(val_idx.shape[1]),
-                int(Y.shape[1]), int(alphas.shape[0]))
+                int(Y.shape[1]), int(alphas.shape[0]),
+                voxel_shards=voxel_shards)
 
             def one_fold(va, vp):
                 Xva = X[va]
@@ -458,13 +465,14 @@ def _predict_and_score(X_test, Y_test, weights):
 @partial(
     jax.jit,
     static_argnames=("normalpha", "use_corr", "single_alpha", "singcutoff",
-                     "method", "complement", "scan", "fast_scan"),
+                     "method", "complement", "scan", "fast_scan",
+                     "voxel_shards"),
 )
 def _nested_cv_step_impl(
     X, Y, X_test, Y_test, alphas, train_idx, val_idx,
     normalpha: bool, use_corr: bool, single_alpha: bool, singcutoff: float,
     method: str, complement: bool, scan: str = "eigh",
-    fast_scan: bool = False,
+    fast_scan: bool = False, voxel_shards: int = 1,
 ) -> NestedCVResult:
     """scan -> refit -> score, inlined by XLA into ONE fused program (jit
     of jit inlines; the pieces are also independently jitted for the
@@ -472,14 +480,19 @@ def _nested_cv_step_impl(
     best_alphas, aux = _scan_core(
         X, Y, alphas, train_idx, val_idx, normalpha, use_corr,
         single_alpha, singcutoff, method, complement, scan, fast_scan,
+        voxel_shards=voxel_shards,
     )
     # The woodbury scan's union eigendecomposition doubles as the refit's
     # factorization (rank-k corrected); a large remainder outside the fold
     # union (only possible with hand-built folds) falls back to the
     # standalone spectral refit.
+    # k_rem < 0 means the fold union double-counts rows (overlapping val
+    # sets can reach here only when train_idx was a tracer, skipping
+    # _folds_are_complementary) — the union Gram is then wrong for the
+    # refit, so negative remainders must fall back too.
     k_rem = (X.shape[0] - aux[3].shape[0]) if aux is not None else None
     if (aux is not None and singcutoff <= 1e-10
-            and k_rem <= max(256, X.shape[0] // 8)):
+            and 0 <= k_rem <= max(256, X.shape[0] // 8)):
         lam_u, Q, XtY_u, union = aux
         weights = _refit_union_woodbury(X, Y, lam_u, Q, XtY_u, union,
                                         best_alphas, alphas, normalpha)
@@ -516,8 +529,13 @@ def make_nested_cv_step(mesh=None, **static_kwargs):
             Y_test = shard_voxels(Y_test, mesh)
             X = replicate(X, mesh)
             X_test = replicate(X_test, mesh)
+        kw = dict(static_kwargs)
+        if mesh is not None:
+            # Per-device voxel columns shrink by the mesh size, so the
+            # woodbury alpha batch may grow by the same factor.
+            kw.setdefault("voxel_shards", int(mesh.devices.size))
         return nested_cv_step(
-            X, Y, X_test, Y_test, alphas, train_idx, val_idx, **static_kwargs
+            X, Y, X_test, Y_test, alphas, train_idx, val_idx, **kw
         )
 
     return step

@@ -116,7 +116,8 @@ def test_lmax_update_accuracy():
 def test_alpha_batch_invariance(alpha_batch):
     """score_alpha_grid_woodbury returns identical score curves for every
     alpha_batch (1 = the round-3 sequential path; 7 exercises the padded
-    chunking; A = one fully batched program)."""
+    chunking; A = one fully batched program). The None reference below is
+    the memory-minimal one-alpha-at-a-time default (same as 1)."""
     T = 400
     X, Y, alphas = _problem(T)
     _, va = equal_size_folds(T, 5, 10, seed=0)
