@@ -486,6 +486,11 @@ class AbstractTrainer:
         stage_seconds = timer.report()
         for name, dt in stage_seconds.items():
             self.experiment_logger.log_scalar(f"stage_seconds/{name}", dt)
+        # Pipeline-level wall split (extract / align / structure / fit /
+        # save), distinct from the model's own 'stage_seconds' — callers
+        # and benchmarks read the composed wall a user experiences here
+        # (benchmarks/trainer_e2e.py).
+        metrics["trainer_stage_seconds"] = dict(stage_seconds)
         logger.info("Training complete. Median correlation: %.4f",
                     metrics["median_score"])
         return metrics
