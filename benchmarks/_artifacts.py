@@ -24,6 +24,20 @@ def ensure_backend(deadline_s: float = 480.0) -> None:
                  f"retry when the TPU tunnel is back")
 
 
+def pin_platform() -> None:
+    """Apply LITCODER_BENCH_PLATFORM to THIS process via jax.config.
+
+    The tunneled TPU plugin ignores the JAX_PLATFORMS env var (CLAUDE.md),
+    so CPU smoke runs of the benchmark scripts need an explicit
+    jax.config.update — same knob the benchguard probe honors. No-op when
+    the env var is unset (normal TPU benchmarking)."""
+    p = os.environ.get("LITCODER_BENCH_PLATFORM")
+    if p:
+        import jax
+
+        jax.config.update("jax_platforms", p)
+
+
 def append_records(path: str, records) -> None:
     """Append `records` (a list of dicts) to the JSON array at `path`."""
     existing = []

@@ -58,11 +58,12 @@ def main():
     )
     stimuli = build_fullcontext_stimuli(args.n_words)
 
-    def make(prefix_sharing, batch_size, dtype="float32"):
+    def make(prefix_sharing, batch_size, dtype="float32", depth=4):
         return LanguageModelFeatureExtractor({
             "model_name": "bench-gpt2", "model": model,
             "tokenizer": HashStubTokenizer(), "batch_size": batch_size,
             "prefix_sharing": prefix_sharing, "dtype": dtype,
+            "pipeline_depth": depth,
         })
 
     def timed(ex, tag):
@@ -70,17 +71,24 @@ def main():
         t0 = time.perf_counter()
         out = ex.extract_all_layers(stimuli)
         np.asarray(out[0]).sum()  # force
-        return time.perf_counter() - t0, out
+        return time.perf_counter() - t0, out, dict(ex.last_stage_seconds)
 
     # Reference style: one window per forward, no sharing.
-    t_loop, _ = timed(make(False, 1), "per-text loop")
+    t_loop, _, _ = timed(make(False, 1, depth=1), "per-text loop")
     # Batched, no prefix sharing.
-    t_batch, _ = timed(make(False, 64), "batched")
+    t_batch, _, _ = timed(make(False, 64), "batched")
+    # Batched + prefix chains, fully synchronous dispatch (the round-4
+    # behavior): isolates what the pipelining alone buys.
+    t_sync, _, _ = timed(make(True, 64, depth=1), "chains sync")
     # Batched + prefix chains (the default for causal models).
-    t_chain, out32 = timed(make(True, 64), "prefix chains")
+    t_chain, out32, stages32 = timed(make(True, 64), "prefix chains")
     # bf16 forward compute (dtype='bfloat16'): the opt-in extraction fast
     # path — 2x MXU throughput + half the weight/activation HBM traffic.
-    t_bf16, out16 = timed(make(True, 64, "bfloat16"), "bf16 chains")
+    t_bf16, out16, _ = timed(make(True, 64, "bfloat16"), "bf16 chains")
+    # Everything on: bf16 + wide batch + deep pipeline (per-layer pooling
+    # keeps peak HBM flat, so the batch can grow).
+    t_best, _, stages_best = timed(
+        make(True, 256, "bfloat16", depth=8), "bf16 wide deep")
     last = max(out32)
     a, b = np.asarray(out32[last]), np.asarray(out16[last])
     bf16_rel_err = float(np.linalg.norm(a - b)
@@ -106,10 +114,19 @@ def main():
         "batched_speedup": round(t_loop / t_batch, 1),
         "prefix_chain_speedup": round(t_loop / t_chain, 1),
         "windows_per_sec": round(n / t_chain, 1),
+        "sync_dispatch_sec": round(t_sync, 2),
+        "pipeline_speedup_vs_sync": round(t_sync / t_chain, 2),
         "bf16_sec": round(t_bf16, 2),
         "bf16_windows_per_sec": round(n / t_bf16, 1),
         "bf16_speedup_vs_fp32": round(t_chain / t_bf16, 2),
         "bf16_final_layer_rel_err": round(bf16_rel_err, 4),
+        # bf16 + batch 256 + pipeline depth 8: the sweep configuration.
+        "best_sec": round(t_best, 2),
+        "best_windows_per_sec": round(n / t_best, 1),
+        # Host-side split of the default run: time blocked on the device
+        # (fetch_wait) vs host work overlapped with it (prep/tokenize).
+        "stage_breakdown": stages32,
+        "stage_breakdown_best": stages_best,
     }
     print(json.dumps(rec))
     if args.out:

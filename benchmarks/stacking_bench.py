@@ -75,6 +75,12 @@ def main():
     parser.add_argument("--whole_brain", action="store_true",
                         help="V=95556 instead of fsaverage5 20484")
     parser.add_argument("--t", type=int, default=26880)
+    parser.add_argument("--v", type=int, default=None,
+                        help="override the voxel count (CPU smoke tests)")
+    parser.add_argument("--dims", type=int, nargs="+", default=None,
+                        help="override band dims (CPU smoke: keep T >> d "
+                             "or the big spaces are unlearnable and the "
+                             "blend degenerates by construction)")
     parser.add_argument("--voxel_chunk", type=int, default=None,
                         help="stream each space's alpha search through "
                              "voxel chunks (whole-brain default: 8192)")
@@ -85,16 +91,17 @@ def main():
     # 3 spaces: LM (GPT-2 768 x 4 delays), speech-ish (512 x 4), wordrate
     # (1 x 4)-like small space — the driver's banded config shape, blended.
     T, TP, A, F, CHUNK = args.t, 2048, 10, 5, 20
-    BAND_DIMS = [3072, 2048, 4]
-    V = 95556 if args.whole_brain else 20484
+    BAND_DIMS = args.dims or [3072, 2048, 4]
+    V = args.v or (95556 if args.whole_brain else 20484)
     if args.whole_brain and args.voxel_chunk is None:
         args.voxel_chunk = 8192
 
-    from _artifacts import ensure_backend
+    from _artifacts import ensure_backend, pin_platform
 
     # Probe BEFORE the data build: a retry loop on a flapping tunnel must
     # fail in seconds, not after the build.
     ensure_backend()  # fail fast instead of hanging on a down tunnel
+    pin_platform()  # honor LITCODER_BENCH_PLATFORM (CPU smoke runs)
 
     print("building data...", flush=True)
     Xs, X_tests, Y, y_test, C = build_problem(T, TP, V, BAND_DIMS)

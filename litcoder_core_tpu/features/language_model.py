@@ -24,7 +24,11 @@ TPU redesign:
   prefix forward, and masked-mean pooling equals the cumulative mean. Exact
   for decoder-only models (auto-enabled via _CAUSAL_MODEL_TYPES; `prefix_
   sharing` config key overrides). Turns the reference's O(n_words^2) token
-  work into O(n_tokens) on those spans.
+  work into O(n_tokens) on those spans;
+- pipelined dispatch: up to `pipeline_depth` forwards stay in flight before
+  the host blocks on a fetch, overlapping tokenize/pad/D2H with device
+  compute (the tunneled-TPU wall is round-trip latency, not the MXU —
+  see _PipelinedFetch).
 
 Backends: 'flax' (HF Flax checkpoints — the native path), 'torch' (CPU
 fallback for torch-only checkpoints), 'auto' (flax then torch). Config may
@@ -97,6 +101,46 @@ def _find_prefix_chains(
     return chains, singles
 
 
+class _PipelinedFetch:
+    """Bounded in-flight queue: overlap host work with device compute.
+
+    The extraction wall on the tunneled TPU is NOT the MXU (bf16 moved it
+    1.03x — VERDICT r4): each synchronous `np.asarray(forward(...))` pays
+    a full dispatch + D2H round trip while the device sits idle. JAX
+    dispatch is asynchronous, so holding up to `depth` un-fetched results
+    lets batch k+1..k+depth compute (and their H2D land) while batch k's
+    pooled features stream back — the classic double-buffered pipeline,
+    depth-generalized. `fetch_wait_s` accumulates the host time actually
+    blocked on device results (the benchmark's stage breakdown).
+    """
+
+    def __init__(self, depth: int, sink):
+        from collections import deque
+
+        self._queue = deque()
+        self._depth = max(1, int(depth))
+        self._sink = sink  # sink(np_result, meta) -> None
+        self.fetch_wait_s = 0.0
+
+    def push(self, device_result, meta) -> None:
+        self._queue.append((device_result, meta))
+        if len(self._queue) > self._depth:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        import time
+
+        dev, meta = self._queue.popleft()
+        t0 = time.perf_counter()
+        arr = np.asarray(dev, dtype=np.float32)
+        self.fetch_wait_s += time.perf_counter() - t0
+        self._sink(arr, meta)
+
+    def flush(self) -> None:
+        while self._queue:
+            self._drain_one()
+
+
 class LanguageModelFeatureExtractor(BaseFeatureExtractor):
     """Batched all-layer LM feature extractor.
 
@@ -117,6 +161,12 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         self.context_type = config.get("context_type", "fullcontext")
         self.backend = config.get("backend", "auto")
         self.batch_size = int(config.get("batch_size", 64))
+        # In-flight forwards held before blocking on a fetch (see
+        # _PipelinedFetch). 1 = the old fully synchronous behavior.
+        self.pipeline_depth = int(config.get("pipeline_depth", 4))
+        # Host-side stage split of the last extract_* call (benchmark /
+        # profiling surface): tokenize_s, prep_s, fetch_wait_s, total_s.
+        self.last_stage_seconds: Dict[str, float] = {}
         self.compute_dtype = config.get("dtype", "float32")
         # 'auto' | True | False: share one forward across windows that are
         # token-prefixes of each other (exact for causal decoders).
@@ -254,21 +304,29 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 output_hidden_states=True,
                 train=False,
             )
-            hs = jnp.stack(out.hidden_states)  # (L+1, B, T, D)
+            # Pool each layer BEFORE stacking: stacking first materializes
+            # an (L+1, B, T, D) copy of every hidden state — at GPT-2-small
+            # shapes that is the peak-HBM term and caps the batch size the
+            # pipelined dispatch can use.
             if last_token:
                 idx = jnp.maximum(
                     attention_mask.sum(axis=-1).astype(jnp.int32) - 1, 0
                 )  # (B,)
-                pooled = hs[:, jnp.arange(hs.shape[1]), idx, :]  # (L+1, B, D)
+                rows = jnp.arange(input_ids.shape[0])
+                pooled = jnp.stack(
+                    [h[rows, idx, :] for h in out.hidden_states]
+                )  # (L+1, B, D)
             else:
                 # Accumulate the masked mean in float32: a bf16 reduction
                 # over hundreds of tokens loses ~2 mantissa bits per
                 # doubling (the gather above is accumulation-free).
                 mask = attention_mask.astype(jnp.float32)  # (B, T)
-                num = jnp.einsum("lbtd,bt->lbd", hs.astype(jnp.float32),
-                                 mask)
-                den = jnp.maximum(mask.sum(axis=-1), 1.0)[None, :, None]
-                pooled = num / den
+                den = jnp.maximum(mask.sum(axis=-1), 1.0)[:, None]
+                pooled = jnp.stack([
+                    jnp.einsum("btd,bt->bd", h.astype(jnp.float32), mask)
+                    / den
+                    for h in out.hidden_states
+                ])
             return pooled.astype(jnp.float32)
 
         self._forward_fn = forward
@@ -303,16 +361,23 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 output_hidden_states=True,
                 train=False,
             )
-            hs = jnp.stack(out.hidden_states)  # (L+1, B, T, D)
-            rows = jnp.arange(hs.shape[1])[:, None]  # (B, 1)
+            rows = jnp.arange(input_ids.shape[0])[:, None]  # (B, 1)
+            # Per-layer pooling, stacked afterwards: avoids materializing
+            # the (L+1, B, T, D) stack (cf. the batched forward).
             if last_token:
-                pooled = hs[:, rows, positions, :]  # (L+1, B, K, D)
+                pooled = jnp.stack(
+                    [h[rows, positions, :] for h in out.hidden_states]
+                )  # (L+1, B, K, D)
             else:
                 # float32 cumsum: bf16 running sums drift over long
                 # prefixes (cf. the batched forward's masked mean).
-                csum = jnp.cumsum(hs.astype(jnp.float32), axis=2)
                 denom = (positions + 1).astype(jnp.float32)  # (B, K)
-                pooled = csum[:, rows, positions, :] / denom[None, :, :, None]
+                pooled = jnp.stack([
+                    jnp.cumsum(h.astype(jnp.float32), axis=1)[
+                        rows, positions, :]
+                    / denom[:, :, None]
+                    for h in out.hidden_states
+                ])
             return pooled.astype(jnp.float32)
 
         self._chain_forward_fn = forward
@@ -406,7 +471,13 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
             bucket = _pad_to_bucket(len(token_lists[chain[-1]]))
             batches.setdefault(bucket, []).append(chain)
 
+        def sink(pooled, batch):
+            # pooled: (L+1, B(+pad), K, D) — padded rows never indexed.
+            for row, chain in enumerate(batch):
+                pooled_all[:, chain, :] = pooled[:, row, :len(chain), :]
+
         forward = self._flax_chain_forward_fn()
+        pipe = _PipelinedFetch(self.pipeline_depth, sink)
         for bucket, group in batches.items():
             for s in range(0, len(group), self.batch_size):
                 batch = group[s:s + self.batch_size]
@@ -425,14 +496,28 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                     pos[row, :len(chain)] = ends
                     pos[row, len(chain):] = ends[-1]  # padded gathers
                 (ids, mask, pos), _ = self._prep_inputs(ids, mask, pos)
-                pooled = np.asarray(
-                    forward(self._params(), ids, mask, pos), np.float32
-                )  # (L+1, B(+pad), K, D) — padded rows never indexed below
-                for row, chain in enumerate(batch):
-                    pooled_all[:, chain, :] = pooled[:, row, :len(chain), :]
+                pipe.push(forward(self._params(), ids, mask, pos), batch)
+        pipe.flush()
+        self.last_stage_seconds["fetch_wait_s"] = round(
+            self.last_stage_seconds.get("fetch_wait_s", 0.0)
+            + pipe.fetch_wait_s, 4)
+
+    def _tokenize_timed(self, stimuli, nonempty) -> List[List[int]]:
+        import time
+
+        t0 = time.perf_counter()
+        token_lists = [self._encode(stimuli[i]) for i in nonempty]
+        self.last_stage_seconds = {
+            "tokenize_s": round(time.perf_counter() - t0, 4),
+            "fetch_wait_s": 0.0,
+        }
+        return token_lists
 
     def _run_batches(self, token_lists: List[List[int]]) -> np.ndarray:
         """Run all nonempty token lists; returns (n_layers+1, N, D)."""
+        import time
+
+        t0 = time.perf_counter()
         n = len(token_lists)
         pooled_all = np.zeros(
             (self.n_layers + 1, n, self.d_model), np.float32
@@ -454,6 +539,13 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         n_single = len(singles)
         order = sorted(singles, key=lambda i: len(token_lists[i]))
 
+        def sink(pooled, meta):
+            batch_idx, n_pad = meta
+            if n_pad:
+                pooled = pooled[:, :-n_pad, :]
+            pooled_all[:, batch_idx, :] = pooled
+
+        pipe = _PipelinedFetch(self.pipeline_depth, sink)
         i = 0
         while i < n_single:
             batch_idx = order[i:i + self.batch_size]
@@ -467,16 +559,21 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
                 mask[row, :len(toks)] = 1
             if self.backend == "flax":
                 (ids, mask), n_pad = self._prep_inputs(ids, mask)
-                pooled = np.asarray(
-                    self._flax_forward_fn()(self._params(), ids, mask),
-                    np.float32,
-                )
-                if n_pad:
-                    pooled = pooled[:, :-n_pad, :]
+                pipe.push(self._flax_forward_fn()(self._params(), ids, mask),
+                          (batch_idx, n_pad))
             else:
-                pooled = self._torch_forward(ids, mask)
-            pooled_all[:, batch_idx, :] = pooled
+                sink(self._torch_forward(ids, mask), (batch_idx, 0))
             i += self.batch_size
+        pipe.flush()
+        self.last_stage_seconds["fetch_wait_s"] = round(
+            self.last_stage_seconds.get("fetch_wait_s", 0.0)
+            + pipe.fetch_wait_s, 4)
+        total = time.perf_counter() - t0
+        self.last_stage_seconds["forward_total_s"] = round(total, 4)
+        # Everything the host did while NOT blocked on the device:
+        # tokenize happened earlier; this is pad/bucket/dispatch/writeback.
+        self.last_stage_seconds["host_prep_s"] = round(
+            total - self.last_stage_seconds["fetch_wait_s"], 4)
         return pooled_all
 
     # ------------------------------------------------------------- public API
@@ -503,7 +600,7 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
             for layer in range(self.n_layers)
         }
         if nonempty:
-            token_lists = [self._encode(stimuli[i]) for i in nonempty]
+            token_lists = self._tokenize_timed(stimuli, nonempty)
             pooled = self._run_batches(token_lists)  # (L+1, N, D)
             for layer in range(self.n_layers):
                 out[layer][nonempty] = pooled[layer + hs_offset]
@@ -524,7 +621,7 @@ class LanguageModelFeatureExtractor(BaseFeatureExtractor):
         hs_offset = 1 if self.hook_type == "hook_resid_post" else 0
         out = np.zeros((n, self.d_model), np.float32)
         if nonempty:
-            token_lists = [self._encode(stimuli[i]) for i in nonempty]
+            token_lists = self._tokenize_timed(stimuli, nonempty)
             pooled = self._run_batches(token_lists)
             out[nonempty] = pooled[layer_idx + hs_offset]
         return out

@@ -282,13 +282,17 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
             else:
                 out = model(**{key: batch}, params=params,
                             output_hidden_states=True, train=False)
-            hs = jnp.stack(out.hidden_states)  # (L+1, B, T, D)
+            # Pool per layer, then stack the small (B, D) results —
+            # stacking the raw states first materializes an extra
+            # (L+1, B, T, D) copy (cf. the LM extractor's forwards).
             if pool == "last":
                 # Accumulation-free gather: exact in either compute dtype.
-                return hs[:, :, -1, :].astype(jnp.float32)
+                return jnp.stack([h[:, -1, :] for h in out.hidden_states]
+                                 ).astype(jnp.float32)
             # Mean over encoder time in float32: a bf16 reduction over
             # hundreds of frames drifts (cf. the LM extractor's pooling).
-            return hs.astype(jnp.float32).mean(axis=2)
+            return jnp.stack([h.astype(jnp.float32).mean(axis=1)
+                              for h in out.hidden_states])
 
         self._forward_fn = forward
         return forward
@@ -308,13 +312,30 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
             return pooled.float().cpu().numpy()
 
     def _run_all(self, wav_path: str) -> Tuple[np.ndarray, np.ndarray]:
-        """All windows through the encoder: (L+1, n_chunks, D), times."""
+        """All windows through the encoder: (L+1, n_chunks, D), times.
+
+        Forwards are pipelined (up to 4 in flight) so the HF host-side
+        preprocessing of window k+1 (log-mel / normalization — the serial
+        wall otherwise) overlaps the encoder compute and D2H of window k
+        (cf. features.language_model._PipelinedFetch).
+        """
+        from litcoder_core_tpu.features.language_model import _PipelinedFetch
+
         wav = load_audio(wav_path, self.target_sample_rate)
         windows, times = self._windows(wav)
         if windows.shape[0] == 0:
             return np.empty((0, 0, 0), np.float32), times
-        pooled_parts = []
-        for lo in range(0, windows.shape[0], self.batch_size):
+        pooled_parts = {}
+
+        def sink(pooled, meta):
+            part, n_pad = meta
+            if n_pad:
+                pooled = pooled[:, :-n_pad, :]
+            pooled_parts[part] = pooled
+
+        pipe = _PipelinedFetch(4, sink)
+        for part, lo in enumerate(range(0, windows.shape[0],
+                                        self.batch_size)):
             batch = self._prepare_batch(windows[lo:lo + self.batch_size])
             if self.backend == "flax":
                 params = self._params()
@@ -323,15 +344,13 @@ class SpeechFeatureExtractor(BaseFeatureExtractor):
                     from litcoder_core_tpu.parallel.tp import pad_and_shard
 
                     (batch,), n_pad = pad_and_shard((batch,), self.mesh)
-                pooled = np.asarray(
-                    self._flax_forward_fn()(params, batch), np.float32,
-                )
-                if n_pad:
-                    pooled = pooled[:, :-n_pad, :]
+                pipe.push(self._flax_forward_fn()(params, batch),
+                          (part, n_pad))
             else:
-                pooled = self._torch_forward(batch)
-            pooled_parts.append(pooled)
-        return np.concatenate(pooled_parts, axis=1), times
+                sink(self._torch_forward(batch), (part, 0))
+        pipe.flush()
+        ordered = [pooled_parts[p] for p in sorted(pooled_parts)]
+        return np.concatenate(ordered, axis=1), times
 
     # ------------------------------------------------------------- public API
 
