@@ -111,10 +111,21 @@ def main():
 
     from litcoder_core_tpu.models.banded import fit_banded_ridge
 
-    Xs = jax.device_put(Xs)
-    X_tests = jax.device_put(X_tests)
-    Y, y_test = jax.device_put((Y, y_test))
-    jax.block_until_ready((Xs, X_tests, Y, y_test))
+    if args.whole_brain:
+        # Whole-brain HBM budget: the 10 GB response is device-resident
+        # (the measured setting), but features/test arrays stay host-side
+        # — device copies of Xs would DOUBLE next to the fit's own concat,
+        # and y_test/X_tests are not needed until the refit/scoring stages
+        # (fit_banded_ridge converts them lazily). Warm walls therefore
+        # include their ~1.4 GB H2D; the scan's HBM headroom is what makes
+        # the fit possible at all (see _chol_scan_chunked's budget notes).
+        Y = jax.device_put(Y)
+        jax.block_until_ready(Y)
+    else:
+        Xs = jax.device_put(Xs)
+        X_tests = jax.device_put(X_tests)
+        Y, y_test = jax.device_put((Y, y_test))
+        jax.block_until_ready((Xs, X_tests, Y, y_test))
 
     results = []
     for n_gammas in args.n_gammas:

@@ -397,15 +397,22 @@ def _chol_scan_solves(Xc, G_all, s, va, alphas, normalpha: bool):
     return jax.lax.map(solve_alpha, nal)  # (A, D, Tva)
 
 
-@partial(jax.jit, static_argnames=("chunk", "use_corr", "fast_scan"))
+@partial(jax.jit,
+         static_argnames=("chunk", "use_corr", "fast_scan", "alpha_batch"))
 def _chol_scan_score_chunk(Xc, Y, XtY_all, Z_all, s, va, c0, chunk: int,
-                           use_corr: bool, fast_scan: bool):
+                           use_corr: bool, fast_scan: bool,
+                           alpha_batch: int = 0):
     """(A, chunk) scores for one (fold, gamma, voxel-chunk) dispatch.
 
     The full (T, V) response is touched ONLY by a top-level dynamic_slice
     + row gather — never inside a loop — so XLA never copies it (the
     compile-time OOM mode of the in-jit chunked scan). The per-alpha
-    predictions run as one batched (A, Tva, D) @ (D, chunk) matmul."""
+    predictions run as batched (ab, Tva, D) @ (D, chunk) matmuls; with
+    `alpha_batch` (a divisor of A chosen by `_scan_alpha_batch`'s memory
+    budget) the alpha axis streams through a lax.map so the (A, Tva,
+    chunk) prediction block never materializes whole — at whole-brain
+    shapes that block alone is ~1.8 GB next to a ~14 GB-resident chip
+    (the RESOURCE_EXHAUSTED mode of the round-4 chunked scan)."""
     from litcoder_core_tpu.models.ridge import _score_predictions
     from litcoder_core_tpu.ops.stats import zscore
 
@@ -419,11 +426,47 @@ def _chol_scan_score_chunk(Xc, Y, XtY_all, Z_all, s, va, c0, chunk: int,
     sXtY_c = s[:, None] * XtY_c                                # (D, chunk)
     zPc = zscore(Yc, axis=0)
     Pvarc = jnp.var(Yc, axis=0, ddof=1)
-    pred = jnp.matmul(jnp.swapaxes(Z_all, 1, 2), sXtY_c[None, :, :],
-                      precision=sp)                            # (A, Tva, c)
-    return jax.vmap(
-        lambda p: _score_predictions(p, Yc, zPc, Pvarc, use_corr)
-    )(pred)
+
+    def score_batch(Z_b):                                      # (ab, D, Tva)
+        pred = jnp.matmul(jnp.swapaxes(Z_b, 1, 2), sXtY_c[None, :, :],
+                          precision=sp)                        # (ab, Tva, c)
+        return jax.vmap(
+            lambda p: _score_predictions(p, Yc, zPc, Pvarc, use_corr)
+        )(pred)
+
+    a_n = Z_all.shape[0]
+    ab = alpha_batch if 0 < alpha_batch < a_n else a_n
+    if ab == a_n:
+        return score_batch(Z_all)
+    out = jax.lax.map(
+        score_batch,
+        Z_all.reshape(a_n // ab, ab, *Z_all.shape[1:]),
+    )                                                          # (A/ab, ab, c)
+    return out.reshape(a_n, chunk)
+
+
+def _scan_chunk_cap(t_rows: int, chunk: int,
+                    budget_bytes: int = 512 * 2**20) -> int:
+    """Cap the scan's voxel chunk so the (T, chunk) response column slice
+    — the chunk dispatch's largest transient — stays under `budget_bytes`.
+    At whole-brain T=26880 an 8192 chunk's slice alone is ~0.9 GB next to
+    a ~14 GB-resident chip; the cap lands at 4608 there."""
+    cap = max(512, (budget_bytes // (4 * t_rows)) // 512 * 512)
+    return min(chunk, cap)
+
+
+def _scan_alpha_batch(a_n: int, t_va: int, chunk: int,
+                      budget_bytes: int = 256 * 2**20) -> int:
+    """Largest DIVISOR of the alpha-grid size whose (ab, Tva, chunk)
+    prediction block fits `budget_bytes` (the reshape in
+    _chol_scan_score_chunk needs divisibility; worst case ab=1 is the
+    memory-minimal sequential scan)."""
+    per_alpha = 4 * t_va * chunk
+    best = 1
+    for ab in range(1, a_n + 1):
+        if a_n % ab == 0 and ab * per_alpha <= budget_bytes:
+            best = ab
+    return best
 
 
 def _chol_scan_chunked(Xc, Y_j, scales, inner_splits, alphas_j,
@@ -438,32 +481,53 @@ def _chol_scan_chunked(Xc, Y_j, scales, inner_splits, alphas_j,
     Each chunk's scores are blocked before the next enqueue: PJRT
     allocates a dispatch's temp buffers at enqueue, so letting chunks
     queue up stacks their ~GB prediction temps (the RESOURCE_EXHAUSTED
-    mode _refit_gamma_predict documents)."""
+    mode _refit_gamma_predict documents). The chunk size is capped and
+    the alpha axis sub-batched by memory budgets (_scan_chunk_cap /
+    _scan_alpha_batch): at whole-brain V the resident set (10 GB Y +
+    2 GB XtY + 1.1 GB solve factors) leaves ~1.5 GB for dispatch
+    transients, which an (A, Tva, 8192) prediction block alone exceeds."""
     fast = bool(fast_scan)
     n_g = int(scales.shape[0])
     v_in = int(Y_j.shape[1])
+    t_rows = int(Y_j.shape[0])
+    chunk_eff = _scan_chunk_cap(t_rows, chunk)
+    if chunk_eff != chunk:
+        logger.info(
+            "banded chunked scan: voxel_chunk %d capped to %d "
+            "((T, chunk) slice transient budget)", chunk, chunk_eff)
+    chunk = chunk_eff
     n_full = v_in // chunk
     tail = v_in - n_full * chunk
+    a_n = int(alphas_j.shape[0])
     fold_means = None
     for tr, va in inner_splits:
         va_j = jnp.asarray(np.asarray(va))
+        ab = _scan_alpha_batch(a_n, int(va_j.shape[0]), chunk)
         per_gamma = []
+        Z_all = None
         for g in range(n_g):
             s = scales[g]
+            # Drop the previous gamma's factors BEFORE solving: a plain
+            # rebind holds old + new (A, D, Tva) concurrently (~2.2 GB).
+            Z_all = None
             Z_all = _chol_scan_solves(Xc, G_all, s, va_j, alphas_j,
                                       normalpha)
             parts = []
             for c in range(n_full):
                 out = _chol_scan_score_chunk(
                     Xc, Y_j, XtY_all, Z_all, s, va_j, c * chunk,
-                    chunk=chunk, use_corr=use_corr, fast_scan=fast)
+                    chunk=chunk, use_corr=use_corr, fast_scan=fast,
+                    alpha_batch=ab)
                 parts.append(jax.block_until_ready(out))
             if tail:
                 out = _chol_scan_score_chunk(
                     Xc, Y_j, XtY_all, Z_all, s, va_j, n_full * chunk,
-                    chunk=tail, use_corr=use_corr, fast_scan=fast)
+                    chunk=tail, use_corr=use_corr, fast_scan=fast,
+                    alpha_batch=_scan_alpha_batch(
+                        a_n, int(va_j.shape[0]), tail))
                 parts.append(jax.block_until_ready(out))
             per_gamma.append(jnp.concatenate(parts, axis=-1))  # (A, V)
+        Z_all = None
         fold_sc = jnp.stack(per_gamma)                         # (G, A, V)
         fold_means = fold_sc if fold_means is None else fold_means + fold_sc
     return fold_means / jnp.float32(len(inner_splits))
@@ -1069,6 +1133,11 @@ def fit_banded_ridge(
                 )
         elif return_weights:
             weights = np.zeros((D_total, V), np.float32)
+
+    # Function-scope locals outlive the refit: drop the (D, V) cross-
+    # product (~2 GB at whole-brain) before test scoring transfers y_test
+    # and allocates its correlation temps next to the 10 GB response.
+    XtY_full = None
 
     _record_path(banded_refit="grouped_chol" if chol_refit else "spectral")
     metrics: Dict = {"best_gammas": best_gammas.tolist(),

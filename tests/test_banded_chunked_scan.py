@@ -82,6 +82,45 @@ def test_chunked_chol_scan_fast_scan_matches(monkeypatch):
                                atol=1e-5)
 
 
+def test_alpha_subbatched_scan_matches(monkeypatch):
+    """Round-5 whole-brain HBM fix: the chunk scorer streams the alpha
+    axis through lax.map batches so the (A, Tva, chunk) prediction block
+    never materializes whole. Forcing ab=2 (and ab=1, the memory-minimal
+    sequential scan) must reproduce the fully-batched numerics."""
+    Xs, Y, Xts, Yt = _tall_banded_problem()
+    m, w, a, g = fit_banded_ridge(
+        Xs, Y, X_tests=Xts, y_test=Yt, voxel_chunk_size=7, **_kwargs())
+    for forced_ab in (1, 2, 3):
+        monkeypatch.setattr(banded, "_scan_alpha_batch",
+                            lambda *args, **kw: forced_ab)
+        m_b, w_b, a_b, g_b = fit_banded_ridge(
+            Xs, Y, X_tests=Xts, y_test=Yt, voxel_chunk_size=7, **_kwargs())
+        np.testing.assert_array_equal(a, a_b)
+        np.testing.assert_array_equal(g, g_b)
+        np.testing.assert_allclose(m["correlations"], m_b["correlations"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(w, w_b, atol=1e-4)
+
+
+def test_scan_memory_budget_helpers():
+    """_scan_chunk_cap / _scan_alpha_batch: the whole-brain shapes that
+    RESOURCE_EXHAUSTED'd the chip must come out capped, small problems
+    untouched, and the alpha batch is always a divisor."""
+    # Whole-brain T: an 8192-voxel chunk's (T, chunk) slice is ~0.9 GB ->
+    # capped; the cap is a multiple of 512.
+    cap = banded._scan_chunk_cap(26880, 8192)
+    assert cap < 8192 and cap % 512 == 0 and cap >= 1024
+    # Small problems keep their requested chunk.
+    assert banded._scan_chunk_cap(240, 7) == 7
+    # Divisor property + budget monotonicity.
+    for a_n in (6, 10, 12):
+        ab = banded._scan_alpha_batch(a_n, 5376, cap)
+        assert a_n % ab == 0
+        assert 4 * ab * 5376 * cap <= 256 * 2**20 or ab == 1
+    # Tiny shapes: the whole grid fits one batch.
+    assert banded._scan_alpha_batch(6, 60, 7) == 6
+
+
 def test_chunk_larger_than_v_runs_unchunked():
     """voxel_chunk_size >= V must not chunk (and must not crash)."""
     Xs, Y, Xts, Yt = _tall_banded_problem(V=9)
