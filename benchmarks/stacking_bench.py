@@ -113,8 +113,18 @@ def main():
 
     Xs = list(jax.device_put(tuple(Xs)))
     X_tests = list(jax.device_put(tuple(X_tests)))
-    Y, y_test = jax.device_put((Y, y_test))
-    jax.block_until_ready((Y, y_test))
+    if args.whole_brain:
+        # Whole-brain HBM budget: the 10 GB response is device-resident
+        # (the chunked driver's search + column slices need it), but
+        # y_test stays host-side — the chunked test stage transfers one
+        # (Tp, chunk) column block at a time (models/stacking.py:
+        # _fit_stacked_chunked); a full device copy would sit ~0.8 GB
+        # next to the response for the entire fit.
+        Y = jax.device_put(Y)
+        jax.block_until_ready(Y)
+    else:
+        Y, y_test = jax.device_put((Y, y_test))
+        jax.block_until_ready((Y, y_test))
 
     def fit():
         return fit_stacked_ridge(

@@ -18,8 +18,12 @@ raw regression coefficients.
 TPU formulation: the per-voxel QP is tiny (S = 2-5 spaces), so the data
 enters only through A = P^T P (S, S) and b = P^T y (S,) per voxel — MXU
 matmuls build every voxel's QP, accumulated FOLD BY FOLD so no (S, T, V)
-out-of-fold stack ever exists (peak extra memory is one fold's (S, Tva, V)
-predictions — whole-brain-safe). A fixed-iteration accelerated
+out-of-fold stack ever exists. At whole-brain V on one chip even a single
+fold's (S, Tva, V) predictions (~6 GB) cannot sit next to the 10 GB
+device-resident response, so the refit/QP/blend/test stages additionally
+stream through voxel chunks (_fit_stacked_chunked — exact, every stage is
+columnwise in V; per-(fold, space) Grams are computed once and reused by
+all chunks). A fixed-iteration accelerated
 projected-gradient loop (FISTA with the exact per-voxel Lipschitz step;
 Duchi et al. 2008 simplex projection, a sort over S elements) then runs
 vmapped across voxels entirely on device. No per-voxel host loops, no
@@ -164,21 +168,15 @@ def _chol_pred_group(G, XtY, Xva, idx, na):
     return jnp.dot(Xva, Z, precision=_HIGHEST)
 
 
-def _grouped_chol_pred(Xtr, Xpred, Ytr, best: np.ndarray,
-                       normalpha: bool):
-    """(Tpred, V) ridge predictions with per-voxel alphas, voxels grouped
-    by selected alpha — one Cholesky per distinct alpha (the
-    eigensolve-free twin of the spectral per-voxel-alpha refit; cf.
-    CLAUDE.md: eigh is the TPU wall-clock villain). Serves both the
-    out-of-fold refits (Xtr = fold train rows, Xpred = fold val rows)
-    and the full-train test refit (Xtr = X, Xpred = X_test)."""
+def _grouped_chol_pred_cols(G, XtY, Xpred, best: np.ndarray, s0):
+    """Grouped-Cholesky predictions from a precomputed Gram/cross-product:
+    voxels grouped by selected alpha, one Cholesky per distinct alpha.
+    Split out from _grouped_chol_pred so the whole-brain chunked driver
+    can reuse a per-(fold, space) G/s0 across every voxel chunk instead
+    of re-forming the (D, D) Gram per chunk."""
     from litcoder_core_tpu.models.banded import _bucket_width
 
-    G = jnp.dot(Xtr.T, Xtr, precision=_HIGHEST)
-    XtY = jnp.dot(Xtr.T, Ytr, precision=_HIGHEST)
-    s0 = (jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0)) if normalpha
-          else jnp.float32(1.0))
-    pred = jnp.zeros((Xpred.shape[0], Ytr.shape[1]), jnp.float32)
+    pred = jnp.zeros((Xpred.shape[0], XtY.shape[1]), jnp.float32)
     for a in np.unique(best):
         vox = np.nonzero(best == a)[0]
         bkt = _bucket_width(vox.size)
@@ -188,6 +186,21 @@ def _grouped_chol_pred(Xtr, Xpred, Ytr, best: np.ndarray,
                               jnp.float32(a) * s0)
         pred = pred.at[:, vox].set(pg[:, :vox.size])
     return pred
+
+
+def _grouped_chol_pred(Xtr, Xpred, Ytr, best: np.ndarray,
+                       normalpha: bool):
+    """(Tpred, V) ridge predictions with per-voxel alphas, voxels grouped
+    by selected alpha — one Cholesky per distinct alpha (the
+    eigensolve-free twin of the spectral per-voxel-alpha refit; cf.
+    CLAUDE.md: eigh is the TPU wall-clock villain). Serves both the
+    out-of-fold refits (Xtr = fold train rows, Xpred = fold val rows)
+    and the full-train test refit (Xtr = X, Xpred = X_test)."""
+    G = jnp.dot(Xtr.T, Xtr, precision=_HIGHEST)
+    XtY = jnp.dot(Xtr.T, Ytr, precision=_HIGHEST)
+    s0 = (jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0)) if normalpha
+          else jnp.float32(1.0))
+    return _grouped_chol_pred_cols(G, XtY, Xpred, best, s0)
 
 
 def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
@@ -231,6 +244,181 @@ def _space_alphas_and_test(X_j, Y_j, fold_splits, alphas, normalpha,
 def _colwise_dot(a, b):
     """(V,) per-voxel dot over time: sum_t a[t, v] * b[t, v]."""
     return jnp.einsum("tv,tv->v", a, b, precision=_HIGHEST)
+
+
+def _stacked_chunk_cap(t_rows: int, n_vox: int,
+                       budget_bytes: int = 1536 * 2**20) -> int:
+    """Voxel-chunk cap for the stacked fit's refit/QP/test stages: the
+    largest per-chunk transient is the (T, chunk) response column slice
+    (plus its train-row gather), so cap the chunk to keep that slice
+    under `budget_bytes`. Whole-brain T=26880 lands at 12288; any
+    problem whose full (T, V) slice fits the budget comes back >= V
+    (no chunking)."""
+    cap = max(512, (budget_bytes // (4 * t_rows)) // 512 * 512)
+    return cap if cap < n_vox else n_vox
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _cols(M, lo, width: int):
+    """(T, width) column slice starting at `lo` — a top-level
+    dynamic_slice, never inside a loop (the whole-brain copy rule; cf.
+    models/banded.py:_chol_scan_score_chunk). `lo` is traced: tunnel
+    compiles cost minutes per signature, so only the tail width may
+    trigger a second compile."""
+    return jax.lax.dynamic_slice_in_dim(M, lo, width, axis=1)
+
+
+@jax.jit
+def _xty_rows(X, Y_c, rows):
+    """X[rows].T @ Y_c[rows] (D, Vc) in one program so the (T_tr, D) and
+    (T_tr, Vc) row gathers stay transient inside XLA."""
+    return jnp.dot(jnp.take(X, rows, axis=0).T,
+                   jnp.take(Y_c, rows, axis=0), precision=_HIGHEST)
+
+
+def _fit_stacked_chunked(Xs_j, Y_j, X_tests_j, y_test, alphas, fold_splits,
+                         normalpha, use_corr, singcutoff, method,
+                         n_iter, chunk, alpha_fdr, search_chunk, timer, V):
+    """Whole-brain driver for fit_stacked_ridge: every stage after the
+    per-space alpha search streams through voxel chunks (all stages are
+    columnwise in V, so chunking is exact). Nothing of size (Tva, V) or
+    (Tp, V) ever materializes — the round-4 whole-brain fit
+    RESOURCE_EXHAUSTED'd the 16 GB chip because the S per-fold (Tva, V)
+    prediction buffers (~2 GB each at V=95556) and the test-refit
+    (Tp, V) scatter copies sat next to the 10 GB device-resident
+    response. Per-(fold, space) Grams/norms are computed once and reused
+    by every chunk; requires the grouped-Cholesky gates (the caller
+    falls back to the unchunked path otherwise).
+
+    Returns the same (metrics, stack_weights, best_alphas) contract as
+    the unchunked path; numerics match it to float-associativity (the
+    per-column matmul reductions are identical)."""
+    S = len(Xs_j)
+    T = int(Y_j.shape[0])
+    alphas = np.asarray(alphas, np.float32)
+    with timer.stage("per_space_search"):
+        all_alphas = [
+            _find_best_alphas(
+                X_j, Y_j, fold_splits, alphas, single_alpha=False,
+                normalpha=normalpha, use_corr=use_corr,
+                singcutoff=singcutoff, voxel_chunk_size=search_chunk,
+                method=method,
+            )
+            for X_j in Xs_j
+        ]
+
+    with timer.stage("fold_grams_precompute"):
+        # (D, D) Grams + spectral norms, once per (fold, space) and per
+        # space for the full-train test refit; every chunk reuses them.
+        # ~0.6 GB at bench dims — the cache that keeps the chunk loop's
+        # FLOPs flat in the number of chunks.
+        va_rows = [jnp.asarray(np.asarray(va)) for _, va in fold_splits]
+        tr_rows = [jnp.asarray(np.asarray(tr)) for tr, _ in fold_splits]
+        G_fold, s0_fold, Xva_fold = [], [], []
+        for tr_j in tr_rows:
+            Gs, s0s = [], []
+            for X_j in Xs_j:
+                Xtr = jnp.take(X_j, tr_j, axis=0)
+                G = jnp.dot(Xtr.T, Xtr, precision=_HIGHEST)
+                Gs.append(G)
+                s0s.append(jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0))
+                           if normalpha else jnp.float32(1.0))
+            G_fold.append(Gs)
+            s0_fold.append(s0s)
+        for va_j in va_rows:
+            Xva_fold.append([jnp.take(X_j, va_j, axis=0) for X_j in Xs_j])
+        G_full, s0_full = [], []
+        if X_tests_j is not None:
+            for X_j in Xs_j:
+                G = jnp.dot(X_j.T, X_j, precision=_HIGHEST)
+                G_full.append(G)
+                s0_full.append(jnp.sqrt(jnp.maximum(lmax_dense(G), 0.0))
+                               if normalpha else jnp.float32(1.0))
+        jax.block_until_ready(G_fold)
+
+    n_rows_used = sum(len(va) for _, va in fold_splits)
+    w_chunks, corr_chunks = [], []
+    per_space_chunks = [[] for _ in range(S)]
+    for lo in range(0, V, chunk):
+        width = min(chunk, V - lo)
+        best_c = [b[lo:lo + width] for b in all_alphas]
+        timer_cm = timer.stage("oof_refits_and_qp_accumulation")
+        timer_cm.__enter__()
+        A_sv = jnp.zeros((S, S, width), jnp.float32)
+        b_sv = jnp.zeros((S, width), jnp.float32)
+        Y_c = _cols(Y_j, lo, width)                      # (T, Vc)
+        for f, (tr, va) in enumerate(fold_splits):
+            Yva_c = jnp.take(Y_c, va_rows[f], axis=0)
+            preds = []
+            for s, X_j in enumerate(Xs_j):
+                XtY_c = _xty_rows(X_j, Y_c, tr_rows[f])  # (D_s, Vc)
+                preds.append(_grouped_chol_pred_cols(
+                    G_fold[f][s], XtY_c, Xva_fold[f][s], best_c[s],
+                    s0_fold[f][s]))
+            for i in range(S):
+                b_sv = b_sv.at[i].add(_colwise_dot(preds[i], Yva_c))
+                for j in range(i, S):
+                    aij = _colwise_dot(preds[i], preds[j])
+                    A_sv = A_sv.at[i, j].add(aij)
+                    if j > i:
+                        A_sv = A_sv.at[j, i].add(aij)
+        jax.block_until_ready((A_sv, b_sv))
+        timer_cm.__exit__(None, None, None)
+        with timer.stage("blend_fista"):
+            w_c = simplex_lsq(jnp.moveaxis(A_sv, -1, 0), b_sv.T,
+                              n_iter=n_iter)             # (Vc, S)
+            w_chunks.append(np.asarray(w_c))
+        if X_tests_j is not None:
+            with timer.stage("test_refit_and_scoring"):
+                tests_c = []
+                for s, X_j in enumerate(Xs_j):
+                    XtY_c = jnp.dot(X_j.T, Y_c, precision=_HIGHEST)
+                    tests_c.append(_grouped_chol_pred_cols(
+                        G_full[s], XtY_c, X_tests_j[s], best_c[s],
+                        s0_full[s]))                     # (Tp, Vc)
+                y_pred_c = sum(w_c[:, s][None, :] * tests_c[s]
+                               for s in range(S))
+                y_test_c = jnp.asarray(y_test[:, lo:lo + width],
+                                       jnp.float32)
+                corr_chunks.append(np.asarray(pearson_r(y_test_c,
+                                                        y_pred_c)))
+                for s in range(S):
+                    per_space_chunks[s].append(
+                        np.asarray(pearson_r(y_test_c, tests_c[s])))
+
+    if n_rows_used < T:
+        logger.info("stacking: %d/%d training rows outside all validation "
+                    "folds are excluded from the blend fit",
+                    T - n_rows_used, T)
+    stack_weights = np.concatenate(w_chunks, axis=0)     # (V, S)
+    best_alphas = np.stack(all_alphas)                   # (S, V)
+    dominant = np.bincount(np.argmax(stack_weights, axis=1),
+                           minlength=S) / max(V, 1)
+    _record_path(oof_refit="grouped_chol_chunked")
+    metrics: Dict = {
+        "solver_paths": dict(_LAST_PATHS),
+        "stack_weights_mean": stack_weights.mean(axis=0).tolist(),
+        "stack_weights_median": np.median(stack_weights, axis=0).tolist(),
+        "stack_dominant_share": dominant.tolist(),
+    }
+    if X_tests_j is not None:
+        corr = np.concatenate(corr_chunks)
+        per_space = [np.concatenate(c) for c in per_space_chunks]
+        pval = pearson_pvalues_f64(corr, int(np.asarray(y_test).shape[0]))
+        significant, corrected = bh_fdrcorrection_np(pval, alpha=alpha_fdr)
+        metrics.update(_create_metrics_dict(
+            corr, pval, corrected, significant, best_alphas,
+            int(significant.sum()),
+        ))
+        metrics["per_space_test_r"] = [p.tolist() for p in per_space]
+        logger.info(
+            "stacked ridge (chunked): median r = %.3f (spaces alone: %s), "
+            "%d/%d significant", metrics["median_score"],
+            ["%.3f" % float(np.median(p)) for p in per_space],
+            metrics["n_significant"], V,
+        )
+    metrics["stage_seconds"] = timer.report()
+    return metrics, stack_weights, best_alphas
 
 
 def fit_stacked_ridge(
@@ -328,8 +516,49 @@ def fit_stacked_ridge(
     Xs_j = [jnp.asarray(X, jnp.float32) for X in Xs]
 
     from litcoder_core_tpu.parallel.mesh import resolve_voxel_mesh
+    from litcoder_core_tpu.utils.profiling import StageTimer
 
     vox_mesh = resolve_voxel_mesh(mesh, n_devices, who="fit_stacked_ridge")
+
+    fold_splits = create_folds(T, folding_type, n_inner_folds,
+                               chunk_length, seed=seed)
+
+    # Grouped-Cholesky refits (out-of-fold AND full-train test refit)
+    # under the standard exactness gates (see module docstring);
+    # per-(fold, space) spectral factorization otherwise.
+    min_tr = min(len(tr) for tr, _ in fold_splits)
+    a_np = np.asarray(alphas)
+    chol_oof = (
+        method in ("auto", "chol", "dual") and normalpha
+        and singcutoff <= 1e-10 and a_np.size
+        and float(a_np.min()) >= 0.03
+        and all(X.shape[1] <= min_tr for X in Xs)
+    )
+    svd_method = "auto" if method in ("chol", "dual") else method
+
+    # Whole-brain single-chip route: stream the refit/QP/blend/test
+    # stages through voxel chunks (exact — every stage is columnwise in
+    # V). Engages when the (T, chunk) transient budget caps the chunk
+    # below V, or when the caller asks for a chunk explicitly; requires
+    # the grouped-Cholesky gates (the chunk loop reuses per-(fold,
+    # space) Grams; a per-chunk spectral refit would refactorize per
+    # chunk). A mesh replaces chunking entirely, as in fit_nested_cv.
+    if vox_mesh is None and chol_oof:
+        cap = _stacked_chunk_cap(T, V)
+        chunk_eff = (min(int(voxel_chunk_size), cap)
+                     if voxel_chunk_size else cap)
+        if chunk_eff < V:
+            logger.info(
+                "stacked fit: streaming refit/QP/blend/test through "
+                "%d-voxel chunks (%d voxels)", chunk_eff, V)
+            X_tests_j = ([jnp.asarray(Xt, jnp.float32) for Xt in X_tests]
+                         if X_tests is not None else None)
+            return _fit_stacked_chunked(
+                Xs_j, Y_j, X_tests_j, y_test, alphas, fold_splits,
+                normalpha, use_corr, singcutoff, method, n_iter,
+                chunk_eff, alpha_fdr, voxel_chunk_size or chunk_eff,
+                StageTimer(), V)
+
     y_test_j = (jnp.asarray(y_test, jnp.float32)
                 if y_test is not None else None)
     X_tests_j = ([jnp.asarray(Xt, jnp.float32) for Xt in X_tests]
@@ -370,24 +599,6 @@ def fit_stacked_ridge(
             idx_j = shard_voxels(idx_j, vox_mesh,
                                  axis=vox_mesh.axis_names[0])
         return idx_j
-
-    fold_splits = create_folds(T, folding_type, n_inner_folds,
-                               chunk_length, seed=seed)
-
-    # Grouped-Cholesky refits (out-of-fold AND full-train test refit)
-    # under the standard exactness gates (see module docstring);
-    # per-(fold, space) spectral factorization otherwise.
-    min_tr = min(len(tr) for tr, _ in fold_splits)
-    a_np = np.asarray(alphas)
-    chol_oof = (
-        method in ("auto", "chol", "dual") and normalpha
-        and singcutoff <= 1e-10 and a_np.size
-        and float(a_np.min()) >= 0.03
-        and all(X.shape[1] <= min_tr for X in Xs)
-    )
-    svd_method = "auto" if method in ("chol", "dual") else method
-
-    from litcoder_core_tpu.utils.profiling import StageTimer
 
     timer = StageTimer()
     best_js, tests, all_alphas, best_idxs = [], [], [], []

@@ -172,3 +172,55 @@ def test_stacking_chol_oof_matches_spectral():
     assert np.array_equal(a_a, a_e)
     assert np.abs(w_a - w_e).max() < 1e-3
     assert np.allclose(m_a["correlations"], m_e["correlations"], atol=1e-4)
+
+
+def test_stacking_chunked_matches_unchunked():
+    """Round-5 whole-brain route: with voxel_chunk_size set (or the HBM
+    cap binding), the refit/QP/blend/test stages stream through voxel
+    chunks — exact, because every stage is columnwise in V. Weights,
+    alpha selections, and test metrics must reproduce the unchunked fit;
+    the engaged path is recorded so a silent fallback fails loudly."""
+    Xs, Y, Xts, Yt = _two_space_problem()
+    kw = dict(X_tests=Xts, y_test=Yt, alphas=np.logspace(-1, 5, 6),
+              n_inner_folds=4, chunk_length=10, seed=0)
+    m_u, w_u, a_u = fit_stacked_ridge(Xs, Y, **kw)
+    assert m_u["solver_paths"]["oof_refit"] == "grouped_chol"
+    for chunk in (7, 16):  # non-divisor (tail) and divisor-with-tail
+        m_c, w_c, a_c = fit_stacked_ridge(Xs, Y, voxel_chunk_size=chunk,
+                                          **kw)
+        assert m_c["solver_paths"]["oof_refit"] == "grouped_chol_chunked"
+        np.testing.assert_array_equal(a_u, a_c)
+        np.testing.assert_allclose(w_u, w_c, atol=1e-4)
+        np.testing.assert_allclose(m_u["correlations"],
+                                   m_c["correlations"], atol=1e-5)
+        for pu, pc in zip(m_u["per_space_test_r"],
+                          m_c["per_space_test_r"]):
+            np.testing.assert_allclose(pu, pc, atol=1e-5)
+        assert set(m_c["stage_seconds"]) >= {
+            "per_space_search", "fold_grams_precompute",
+            "oof_refits_and_qp_accumulation", "blend_fista",
+            "test_refit_and_scoring"}
+
+
+def test_stacking_chunked_no_test_set():
+    """Chunked driver without a test set: weights/alphas only, and the
+    metrics dict carries no test keys (same contract as unchunked)."""
+    Xs, Y, _, _ = _two_space_problem()
+    kw = dict(alphas=np.logspace(-1, 5, 6), n_inner_folds=4,
+              chunk_length=10, seed=0)
+    m_u, w_u, a_u = fit_stacked_ridge(Xs, Y, **kw)
+    m_c, w_c, a_c = fit_stacked_ridge(Xs, Y, voxel_chunk_size=11, **kw)
+    np.testing.assert_array_equal(a_u, a_c)
+    np.testing.assert_allclose(w_u, w_c, atol=1e-4)
+    assert "median_score" not in m_c and "correlations" not in m_c
+
+
+def test_stacked_chunk_cap():
+    """The cap binds only when the (T, V) slice exceeds the budget:
+    whole-brain shapes come back capped (and 512-aligned), small
+    problems untouched (cap >= V disables chunking)."""
+    from litcoder_core_tpu.models.stacking import _stacked_chunk_cap
+
+    cap = _stacked_chunk_cap(26880, 95556)
+    assert 512 <= cap < 95556 and cap % 512 == 0
+    assert _stacked_chunk_cap(300, 30) == 30
