@@ -67,7 +67,12 @@ def main():
         })
 
     def timed(ex, tag):
-        ex.extract_all_layers(stimuli[:8])  # warm the compile caches
+        # Warm on the FULL stimuli set: prefix chains length-bucket their
+        # windows, so a short warm run leaves the large buckets' programs
+        # uncompiled and the timed region pays tunnel compiles — this put
+        # a spurious 9x slowdown on the bf16 row once (fp32 rows had
+        # round-old cache hits; bf16/batch-256 signatures did not).
+        ex.extract_all_layers(stimuli)
         t0 = time.perf_counter()
         out = ex.extract_all_layers(stimuli)
         np.asarray(out[0]).sum()  # force
