@@ -226,15 +226,6 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
         np.array_equal(np.sort(np.concatenate([tr, va])), rows)
         for tr, va in inner_splits
     )
-    G_all = XtY_all = None
-    if complement:
-        H = jax.lax.Precision.HIGHEST
-        sp = (jax.lax.Precision.DEFAULT if fast_scan
-              else jax.lax.Precision.HIGHEST)
-        G_all = (G_precomputed if G_precomputed is not None
-                 else jnp.dot(Xc.T, Xc, precision=H))
-        XtY_all = jnp.dot(Xc.T, Y_j, precision=sp)
-
     # Voxel chunking (chol scan only): stream the voxel-dependent part of
     # the scan — predictions + scoring — through fixed-size chunks so
     # whole-brain V fits next to the 10 GB response matrix. The tail runs
@@ -251,6 +242,24 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
                 "voxel_chunk_size requires the Cholesky scan (normalpha, "
                 "alpha >= 0.03, singcutoff <= 1e-10); running unchunked"
             )
+
+    G_all = XtY_all = None
+    if complement:
+        H = jax.lax.Precision.HIGHEST
+        sp = (jax.lax.Precision.DEFAULT if fast_scan
+              else jax.lax.Precision.HIGHEST)
+        G_all = (G_precomputed if G_precomputed is not None
+                 else jnp.dot(Xc.T, Xc, precision=H))
+        if not (chunk and scan == "chol"):
+            # The CHUNKED scan computes its cross-product per dispatch
+            # from the (T, chunk) column slice it already materializes
+            # (same full-minus-val downdate association): a persistent
+            # (D, V) XtY is ~2 GB at whole-brain shapes — together with
+            # the solve factors and dispatch transients that pushed the
+            # scan's HBM peak to ~15.5 of 16 GB and killed the backend.
+            # The trade is one (D, T)x(T, chunk) matmul per (fold, gamma,
+            # chunk) dispatch, ~+15 s on the whole-brain warm wall.
+            XtY_all = jnp.dot(Xc.T, Y_j, precision=sp)
 
     if chunk and complement and scan == "chol":
         # Whole-brain chunked scan as PYTHON-level (fold, gamma, chunk)
@@ -421,8 +430,12 @@ def _chol_scan_score_chunk(Xc, Y, XtY_all, Z_all, s, va, c0, chunk: int,
     Ycol = jax.lax.dynamic_slice_in_dim(Y, c0, chunk, axis=1)  # (T, chunk)
     Xva = Xc[va]
     Yc = Ycol[va]                                              # (Tva, chunk)
-    XtY_c = (jax.lax.dynamic_slice_in_dim(XtY_all, c0, chunk, axis=1)
-             - jnp.dot(Xva.T, Yc, precision=sp))
+    # XtY_all=None: compute the full-row cross-product here from the
+    # slice (whole-brain mode — a resident (D, V) XtY is ~2 GB; see
+    # _score_gammas). Same downdate association either way.
+    full_c = (jnp.dot(Xc.T, Ycol, precision=sp) if XtY_all is None
+              else jax.lax.dynamic_slice_in_dim(XtY_all, c0, chunk, axis=1))
+    XtY_c = full_c - jnp.dot(Xva.T, Yc, precision=sp)
     sXtY_c = s[:, None] * XtY_c                                # (D, chunk)
     zPc = zscore(Yc, axis=0)
     Pvarc = jnp.var(Yc, axis=0, ddof=1)
