@@ -112,15 +112,15 @@ def main():
     from litcoder_core_tpu.models.banded import fit_banded_ridge
 
     if args.whole_brain:
-        # Whole-brain HBM budget: the 10 GB response is device-resident
-        # (the measured setting), but features/test arrays stay host-side
-        # — device copies of Xs would DOUBLE next to the fit's own concat,
-        # and y_test/X_tests are not needed until the refit/scoring stages
-        # (fit_banded_ridge converts them lazily). Warm walls therefore
-        # include their ~1.4 GB H2D; the scan's HBM headroom is what makes
-        # the fit possible at all (see _chol_scan_chunked's budget notes).
-        Y = jax.device_put(Y)
-        jax.block_until_ready(Y)
+        # Whole-brain HBM budget: the 10 GB response stays HOST-side —
+        # fit_banded_ridge's host-streaming mode uploads it as a one-pass
+        # (D, V) cross-product plus per-fold val rows (~4 GB resident
+        # products), because the device-resident variant peaked within
+        # ~1 GB of usable HBM and RESOURCE_EXHAUSTED mid-fit (round-5
+        # capture attempts). Features/test arrays also stay host-side.
+        # Warm walls therefore include Y crossing the link twice
+        # (~20 GB H2D) and the ~1.4 GB feature/test H2D.
+        pass
     else:
         Xs = jax.device_put(Xs)
         X_tests = jax.device_put(X_tests)

@@ -69,7 +69,8 @@ def _scale_vector(Xs: Sequence, gamma) -> jnp.ndarray:
 def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
                   use_corr: bool, singcutoff: float, method: str,
                   vox_mesh=None, fast_scan: bool = False,
-                  voxel_chunk=None, Xc=None, G_precomputed=None):
+                  voxel_chunk=None, Xc=None, G_precomputed=None,
+                  XtY_precomputed=None):
     """(G, A, V) inner-CV scores for every gamma candidate.
 
     Fast path (tall design): the per-fold block Grams and cross-products
@@ -250,7 +251,12 @@ def _score_gammas(Xs, Y_j, gammas, inner_splits, alphas, normalpha: bool,
               else jax.lax.Precision.HIGHEST)
         G_all = (G_precomputed if G_precomputed is not None
                  else jnp.dot(Xc.T, Xc, precision=H))
-        if not (chunk and scan == "chol"):
+        if XtY_precomputed is not None:
+            # Host-streaming mode: the caller built the (D, V) cross-
+            # product by streaming host columns (fit_banded_ridge); the
+            # chunked scan slices it instead of touching Y.
+            XtY_all = XtY_precomputed
+        elif not (chunk and scan == "chol"):
             # The CHUNKED scan computes its cross-product per dispatch
             # from the (T, chunk) column slice it already materializes
             # (same full-minus-val downdate association): a persistent
@@ -422,7 +428,6 @@ def _chol_scan_score_chunk(Xc, Y, XtY_all, Z_all, s, va, c0, chunk: int,
     chunk) prediction block never materializes whole — at whole-brain
     shapes that block alone is ~1.8 GB next to a ~14 GB-resident chip
     (the RESOURCE_EXHAUSTED mode of the round-4 chunked scan)."""
-    from litcoder_core_tpu.models.ridge import _score_predictions
     from litcoder_core_tpu.ops.stats import zscore
 
     H = jax.lax.Precision.HIGHEST
@@ -440,6 +445,18 @@ def _chol_scan_score_chunk(Xc, Y, XtY_all, Z_all, s, va, c0, chunk: int,
     zPc = zscore(Yc, axis=0)
     Pvarc = jnp.var(Yc, axis=0, ddof=1)
 
+    return _alpha_batched_scores(Z_all, sXtY_c, Yc, zPc, Pvarc, use_corr,
+                                 sp, alpha_batch, chunk)
+
+
+def _alpha_batched_scores(Z_all, sXtY_c, Yc, zPc, Pvarc, use_corr, sp,
+                          alpha_batch: int, chunk: int):
+    """(A, chunk) scores from the per-alpha solve factors — the alpha
+    axis streams through a lax.map in `alpha_batch`-sized groups so the
+    (A, Tva, chunk) prediction block never materializes whole (shared by
+    the device-resident and host-streaming chunk kernels)."""
+    from litcoder_core_tpu.models.ridge import _score_predictions
+
     def score_batch(Z_b):                                      # (ab, D, Tva)
         pred = jnp.matmul(jnp.swapaxes(Z_b, 1, 2), sXtY_c[None, :, :],
                           precision=sp)                        # (ab, Tva, c)
@@ -456,6 +473,32 @@ def _chol_scan_score_chunk(Xc, Y, XtY_all, Z_all, s, va, c0, chunk: int,
         Z_all.reshape(a_n // ab, ab, *Z_all.shape[1:]),
     )                                                          # (A/ab, ab, c)
     return out.reshape(a_n, chunk)
+
+
+@partial(jax.jit,
+         static_argnames=("chunk", "use_corr", "fast_scan", "alpha_batch"))
+def _chol_scan_score_chunk_tr(XtY_tr, Yva, Z_all, s, c0, chunk: int,
+                              use_corr: bool, fast_scan: bool,
+                              alpha_batch: int = 0):
+    """(A, chunk) scores for one (fold, gamma, voxel-chunk) dispatch in
+    HOST-STREAMING mode: the fold's train cross-product `XtY_tr`
+    (already complement-downdated, built from the streamed (D, V) XtY)
+    and its uploaded val-row responses `Yva` are the only response-sized
+    inputs — the full (T, V) Y never exists on device, and the dispatch
+    reads two (·, chunk) dynamic slices instead of re-deriving the
+    cross-product from a (T, chunk) response slice (the device-resident
+    kernel's largest transient AND its largest per-dispatch matmul)."""
+    from litcoder_core_tpu.ops.stats import zscore
+
+    H = jax.lax.Precision.HIGHEST
+    sp = jax.lax.Precision.DEFAULT if fast_scan else H
+    sXtY_c = s[:, None] * jax.lax.dynamic_slice_in_dim(
+        XtY_tr, c0, chunk, axis=1)                             # (D, chunk)
+    Yc = jax.lax.dynamic_slice_in_dim(Yva, c0, chunk, axis=1)  # (Tva, chunk)
+    zPc = zscore(Yc, axis=0)
+    Pvarc = jnp.var(Yc, axis=0, ddof=1)
+    return _alpha_batched_scores(Z_all, sXtY_c, Yc, zPc, Pvarc, use_corr,
+                                 sp, alpha_batch, chunk)
 
 
 def _scan_chunk_cap(t_rows: int, chunk: int,
@@ -503,7 +546,18 @@ def _chol_scan_chunked(Xc, Y_j, scales, inner_splits, alphas_j,
     n_g = int(scales.shape[0])
     v_in = int(Y_j.shape[1])
     t_rows = int(Y_j.shape[0])
-    chunk_eff = _scan_chunk_cap(t_rows, chunk)
+    host_Y = isinstance(Y_j, np.ndarray)
+    if host_Y and XtY_all is None:
+        raise ValueError(
+            "host-streaming chunked scan requires the precomputed (D, V) "
+            "cross-product (fit_banded_ridge builds it via _xty_streamed)"
+        )
+    # Host-streaming dispatches slice a (Tva, V) per-fold upload, not the
+    # (T, V) response — cap the chunk on the rows a dispatch actually
+    # touches.
+    cap_rows = (max(len(va) for _, va in inner_splits) if host_Y
+                else t_rows)
+    chunk_eff = _scan_chunk_cap(cap_rows, chunk)
     if chunk_eff != chunk:
         logger.info(
             "banded chunked scan: voxel_chunk %d capped to %d "
@@ -512,10 +566,24 @@ def _chol_scan_chunked(Xc, Y_j, scales, inner_splits, alphas_j,
     n_full = v_in // chunk
     tail = v_in - n_full * chunk
     a_n = int(alphas_j.shape[0])
+    dp = (jax.lax.Precision.DEFAULT if fast
+          else jax.lax.Precision.HIGHEST)
     fold_means = None
     for tr, va in inner_splits:
-        va_j = jnp.asarray(np.asarray(va))
+        va_np = np.asarray(va)
+        va_j = jnp.asarray(va_np)
         ab = _scan_alpha_batch(a_n, int(va_j.shape[0]), chunk)
+        Yva = XtY_tr = None
+        if host_Y:
+            # One (Tva, V) upload per fold (the folds' val rows partition
+            # T, so the response crosses the link exactly once across the
+            # scan) + the fold's downdated train cross-product — both
+            # freed at fold end, before the next fold's upload.
+            Yva = jax.device_put(np.ascontiguousarray(Y_j[va_np]))
+            Xva_d = jnp.take(Xc, va_j, axis=0)
+            XtY_tr = jax.block_until_ready(
+                XtY_all - jnp.dot(Xva_d.T, Yva, precision=dp))
+            Xva_d = None
         per_gamma = []
         Z_all = None
         for g in range(n_g):
@@ -526,24 +594,46 @@ def _chol_scan_chunked(Xc, Y_j, scales, inner_splits, alphas_j,
             Z_all = _chol_scan_solves(Xc, G_all, s, va_j, alphas_j,
                                       normalpha)
             parts = []
-            for c in range(n_full):
-                out = _chol_scan_score_chunk(
-                    Xc, Y_j, XtY_all, Z_all, s, va_j, c * chunk,
-                    chunk=chunk, use_corr=use_corr, fast_scan=fast,
-                    alpha_batch=ab)
-                parts.append(jax.block_until_ready(out))
-            if tail:
-                out = _chol_scan_score_chunk(
-                    Xc, Y_j, XtY_all, Z_all, s, va_j, n_full * chunk,
-                    chunk=tail, use_corr=use_corr, fast_scan=fast,
-                    alpha_batch=_scan_alpha_batch(
-                        a_n, int(va_j.shape[0]), tail))
+            for c in range(n_full + (1 if tail else 0)):
+                c0 = c * chunk
+                width = chunk if c < n_full else tail
+                ab_c = (ab if c < n_full else
+                        _scan_alpha_batch(a_n, int(va_j.shape[0]), tail))
+                if host_Y:
+                    out = _chol_scan_score_chunk_tr(
+                        XtY_tr, Yva, Z_all, s, c0, chunk=width,
+                        use_corr=use_corr, fast_scan=fast,
+                        alpha_batch=ab_c)
+                else:
+                    out = _chol_scan_score_chunk(
+                        Xc, Y_j, XtY_all, Z_all, s, va_j, c0,
+                        chunk=width, use_corr=use_corr, fast_scan=fast,
+                        alpha_batch=ab_c)
                 parts.append(jax.block_until_ready(out))
             per_gamma.append(jnp.concatenate(parts, axis=-1))  # (A, V)
-        Z_all = None
+        Z_all = Yva = XtY_tr = None
         fold_sc = jnp.stack(per_gamma)                         # (G, A, V)
         fold_means = fold_sc if fold_means is None else fold_means + fold_sc
     return fold_means / jnp.float32(len(inner_splits))
+
+
+def _xty_streamed(Xc, Y_host, col_chunk: int = 4096):
+    """(D, V) HIGHEST-precision cross-product of the device feature
+    concat with a HOST response, built by streaming (T, col_chunk)
+    column uploads — no (T, V) device buffer ever exists (whole-brain
+    Y is ~10 GB, most of the chip). Each piece is blocked before the
+    next upload so at most one ~0.4 GB slice + its (D, col_chunk)
+    product are in flight."""
+    H = jax.lax.Precision.HIGHEST
+    v = Y_host.shape[1]
+    parts = []
+    for c0 in range(0, v, col_chunk):
+        Ycol = jax.device_put(np.ascontiguousarray(
+            Y_host[:, c0:c0 + col_chunk], dtype=np.float32))
+        parts.append(jax.block_until_ready(
+            jnp.dot(Xc.T, Ycol, precision=H)))
+        Ycol = None
+    return jnp.concatenate(parts, axis=1)
 
 
 @partial(jax.jit,
@@ -905,14 +995,45 @@ def fit_banded_ridge(
                     f"space has {Xb.shape[1]}"
                 )
     V = Y.shape[1]
-    # No host round trip: jnp.asarray is a no-copy view for device f32
-    # inputs (np.asarray used to fetch + re-upload — TWO copies of the
-    # ~10 GB whole-brain response matrix). Y_base stays unsharded for the
-    # calibration scan and the spectral refit's per-group gathers.
-    Y_j = jnp.asarray(Y, jnp.float32)
-    Y_base = Y_j
-
     vox_mesh = resolve_voxel_mesh(mesh, n_devices, who="fit_banded_ridge")
+
+    # Host-streaming whole-brain mode: when the caller passes a HOST
+    # (numpy) response with voxel chunking and the Cholesky-scan gates
+    # hold, Y is never uploaded whole. The chunked scan instead consumes
+    # (a) a (D, V) cross-product built once by streaming column chunks
+    # (reused verbatim by the grouped-Cholesky refit) and (b) one
+    # (Tva, V) val-row upload per fold, freed before the next fold. At
+    # whole-brain LeBel shape that swaps a 10.3 GB device-resident Y for
+    # ~4 GB of resident products — the device-resident variant peaked
+    # within ~1 GB of the chip's usable HBM and RESOURCE_EXHAUSTED mid-
+    # fit. Cost: Y crosses the link twice (XtY pass + per-fold val rows)
+    # instead of once.
+    a_np_s = np.asarray(alphas)
+    stream_host = bool(
+        voxel_chunk_size and vox_mesh is None
+        and isinstance(Y, np.ndarray) and V > int(voxel_chunk_size)
+        and method in ("auto", "chol") and normalpha
+        and singcutoff <= 1e-10
+        and a_np_s.size and float(a_np_s.min()) >= 0.03
+        and T >= sum(X.shape[1] for X in Xs)
+    )
+    if stream_host:
+        Y_j = np.ascontiguousarray(Y, dtype=np.float32)
+        Y_base = Y_j
+        logger.info(
+            "banded host-streaming scan: response stays host-side "
+            "(%.1f GB); XtY + per-fold val rows stream to device",
+            Y_j.nbytes / 2**30,
+        )
+    else:
+        # No host round trip: jnp.asarray is a no-copy view for device
+        # f32 inputs (np.asarray used to fetch + re-upload — TWO copies
+        # of the ~10 GB whole-brain response matrix). Y_base stays
+        # unsharded for the calibration scan and the spectral refit's
+        # per-group gathers.
+        Y_j = jnp.asarray(Y, jnp.float32)
+        Y_base = Y_j
+
     if vox_mesh is not None:
         from litcoder_core_tpu.parallel.mesh import shard_voxels
         from litcoder_core_tpu.parallel.step import pad_voxels
@@ -958,6 +1079,10 @@ def fit_banded_ridge(
     # compute it once. Only when the refit will reuse it — the wide/dual
     # and fallback scans never form it.
     G_shared = _gram_f32(Xc_j) if chol_refit else None
+    # Host-streaming mode: the (D, V) cross-product is the scan's AND the
+    # refit's view of Y — built once at HIGHEST precision by streaming
+    # column chunks so no (T, V) buffer ever exists on device.
+    XtY_shared = _xty_streamed(Xc_j, Y_j) if stream_host else None
 
     # --- score every (gamma, alpha) on inner CV ---------------------------
     # scores has shape (G, A, V): mean fold correlation per gamma candidate.
@@ -975,6 +1100,7 @@ def fit_banded_ridge(
             use_corr, singcutoff, method, vox_mesh=mesh_in, fast_scan=fast,
             voxel_chunk=(voxel_chunk_size if Y_in is Y_j else None),
             Xc=Xc_j, G_precomputed=G_shared,
+            XtY_precomputed=(XtY_shared if Y_in is Y_j else None),
         )
         return jax.block_until_ready(s[..., :V] if Y_in is Y_j else s)
 
@@ -988,7 +1114,10 @@ def fit_banded_ridge(
             scores = _scan(Y_j, True, vox_mesh)
         calib = _calib_voxels(V)
         with timer.stage("scan_calibration_fp32"):
-            s_cal = _scan(Y_base[:, jnp.asarray(calib)], False, None)
+            # Host-streaming mode gathers calibration columns on host.
+            cal_cols = (Y_base[:, calib] if isinstance(Y_base, np.ndarray)
+                        else Y_base[:, jnp.asarray(calib)])
+            s_cal = _scan(cal_cols, False, None)
         if not _fast_scan_accept(scores, s_cal, calib, label=" (banded)"):
             with timer.stage("scan_fp32_fallback"):
                 scores = _scan(Y_j, False, vox_mesh)
@@ -1037,10 +1166,13 @@ def fit_banded_ridge(
 
             H = jax.lax.Precision.HIGHEST
             # G_shared was computed once before the scan (and reused by
-            # its complement path). X^T Y is NOT shared from the scan: the
-            # scan's may run at bf16 scan precision (fast_scan) while the
-            # refit is always full precision.
-            XtY_full = jnp.dot(Xc_j.T, Y_j, precision=H)  # (D, V)
+            # its complement path). X^T Y is NOT shared from the DEVICE
+            # scan (it may run at bf16 scan precision under fast_scan);
+            # the host-streaming cross-product however is always built at
+            # HIGHEST and is reused verbatim — recomputing it would
+            # re-stream the whole host response.
+            XtY_full = (XtY_shared if XtY_shared is not None
+                        else jnp.dot(Xc_j.T, Y_j, precision=H))  # (D, V)
         if chol_refit and not return_weights and X_tests is not None:
             # Prediction-only chol refit: ONE dispatch per winning gamma
             # via the masked all-voxel kernel (see _refit_gamma_predict —
@@ -1119,7 +1251,9 @@ def fit_banded_ridge(
             nal = val * svd.S[0] if normalpha else val
             # Host gather of the group's responses (Y_j may be mesh-
             # sharded; the refit statistics run unsharded as documented).
-            wt = ridge_fit_from_svd(svd, Y_base[:, jnp.asarray(sel)], nal)
+            # np indices work for BOTH a device and a host-streamed
+            # (numpy) Y_base.
+            wt = ridge_fit_from_svd(svd, Y_base[:, np.asarray(sel)], nal)
             group_vox.append(sel)
             if X_test_dev is not None:
                 group_preds.append(_predict_group(X_test_dev, s_vec, wt))
@@ -1151,6 +1285,7 @@ def fit_banded_ridge(
     # product (~2 GB at whole-brain) before test scoring transfers y_test
     # and allocates its correlation temps next to the 10 GB response.
     XtY_full = None
+    XtY_shared = None
 
     _record_path(banded_refit="grouped_chol" if chol_refit else "spectral")
     metrics: Dict = {"best_gammas": best_gammas.tolist(),

@@ -103,6 +103,7 @@ class AbstractTrainer:
                           run_name)
         self.model_saver = ModelSaver(base_dir=results_dir)
         self.brain_plotter = BrainPlotter(self.experiment_logger)
+        self._brain_prefetch = None
 
         logger.info("Abstract trainer initialized: %d extractors, %d stories, "
                     "layer=%d, lookback=%d, dataset=%s, fir=%s, split=%s",
@@ -328,15 +329,48 @@ class AbstractTrainer:
 
     # ------------------------------------------------------------ stage 3
 
-    def structure_data(
-        self, features: Dict[str, np.ndarray]
-    ) -> Dict[str, np.ndarray]:
-        brain_data = {
+    def _prefetch_brain_data(self, budget_bytes: int = 4 << 30):
+        """Enqueue per-story response transfers BEFORE extraction.
+
+        With device-resident structuring the responses must cross the
+        host->device link exactly once either way; issuing the
+        device_puts up front lets the transfers ride the link while the
+        extraction stage keeps the chip busy with forwards (the link is
+        otherwise idle then) instead of paying them serially inside
+        structure_data — on the tunneled chip that was most of an 80 s
+        structuring stage at LeBel surface scale. Budget-gated: at
+        whole-brain scale the full response set next to the fit's own
+        concatenation would crowd HBM, so large assemblies keep the
+        transfer-at-structuring behavior."""
+        if not self._device_resident_active():
+            return None
+        arrs = {
             story: self.assembly.get_brain_data()[
                 self.assembly.stories.index(story)
             ]
             for story in self.stories_to_process
         }
+        total = sum(int(np.asarray(a).nbytes) for a in arrs.values())
+        if total > budget_bytes:
+            logger.info(
+                "brain-data prefetch skipped: %.1f GB exceeds the %.1f GB "
+                "device budget (transfers stay in structure_data)",
+                total / 2**30, budget_bytes / 2**30)
+            return None
+        import jax
+
+        return {s: jax.device_put(a) for s, a in arrs.items()}
+
+    def structure_data(
+        self, features: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        brain_data = self._brain_prefetch or {
+            story: self.assembly.get_brain_data()[
+                self.assembly.stories.index(story)
+            ]
+            for story in self.stories_to_process
+        }
+        self._brain_prefetch = None
         if self.use_train_test_split:
             return self._create_train_test_split(features, brain_data)
         return self._create_concatenated_data(features, brain_data)
@@ -440,6 +474,9 @@ class AbstractTrainer:
         from litcoder_core_tpu.utils.profiling import StageTimer
 
         timer = StageTimer()
+        # Enqueue response transfers so they overlap the extraction
+        # stage's device compute (see _prefetch_brain_data).
+        self._brain_prefetch = self._prefetch_brain_data()
         if self._fused_eligible():
             with timer.stage("extract_downsample_fir_fused"):
                 delayed = self.extract_and_delay_features_fused()

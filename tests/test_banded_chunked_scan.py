@@ -67,6 +67,45 @@ def test_chunked_chol_scan_engages_and_matches(monkeypatch):
     np.testing.assert_allclose(w, w_c, atol=1e-4)
 
 
+def test_host_streaming_scan_matches_device_resident(monkeypatch):
+    """Round-5 whole-brain HBM fix: a HOST (numpy) chunked response
+    routes through the streaming scan — the (D, V) cross-product is
+    built once by `_xty_streamed` (and reused by the refit: no second
+    full-Y pass), per-fold val rows are uploaded and freed — while a
+    DEVICE response keeps the device-resident chunk kernel. Both must
+    reproduce the unchunked fit exactly (selections) / to fp tolerance
+    (scores, weights)."""
+    import jax.numpy as jnp
+
+    Xs, Y, Xts, Yt = _tall_banded_problem()
+    m, w, a, g = fit_banded_ridge(
+        Xs, Y, X_tests=Xts, y_test=Yt, **_kwargs())
+
+    streams = []
+    orig = banded._xty_streamed
+
+    def spy(*args, **kwargs):
+        streams.append(1)
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(banded, "_xty_streamed", spy)
+    m_h, w_h, a_h, g_h = fit_banded_ridge(
+        Xs, Y, X_tests=Xts, y_test=Yt, voxel_chunk_size=7, **_kwargs())
+    assert streams == [1], "host (numpy) Y + voxel_chunk must stream " \
+                           "the cross-product exactly once"
+    m_d, w_d, a_d, g_d = fit_banded_ridge(
+        Xs, jnp.asarray(Y), X_tests=Xts, y_test=Yt, voxel_chunk_size=7,
+        **_kwargs())
+    assert len(streams) == 1, "a device-resident Y must NOT stream"
+    for a_c, g_c, m_c, w_c in ((a_h, g_h, m_h, w_h),
+                               (a_d, g_d, m_d, w_d)):
+        np.testing.assert_array_equal(a, a_c)
+        np.testing.assert_array_equal(g, g_c)
+        np.testing.assert_allclose(m["correlations"], m_c["correlations"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(w, w_c, atol=1e-4)
+
+
 def test_chunked_chol_scan_fast_scan_matches(monkeypatch):
     """fast_scan threads through the chunked dispatches (fp32 on CPU, so
     selections must be identical)."""

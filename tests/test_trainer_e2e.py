@@ -653,6 +653,36 @@ def test_device_resident_structuring_matches_host(assembly, tmp_path):
                                    atol=2e-5, rtol=1e-5)
 
 
+def test_brain_prefetch_structuring_identical(assembly, tmp_path):
+    """Round-5 overlap: train() enqueues the per-story response
+    transfers before extraction so they ride the link while the chip
+    runs forwards. Prefetched structuring must be IDENTICAL to the
+    transfer-at-structuring path, the prefetch must be consumed
+    exactly once, and the HBM budget gate must disable it."""
+    emb = _emb_extractor(assembly, tmp_path)
+    dev = _lanczos_trainer(assembly, tmp_path, [emb], fused=True,
+                           use_train_test_split=True,
+                           trimming_config={"train_features_start": 3},
+                           device_resident=True)
+    feats = dev.extract_and_delay_features_fused()
+    ref = dev.structure_data(feats)              # no prefetch staged
+    pre = dev._prefetch_brain_data()
+    assert pre is not None and set(pre) == set(dev.stories_to_process)
+    dev._brain_prefetch = pre
+    got = dev.structure_data(feats)
+    assert dev._brain_prefetch is None           # consumed
+    for key in ref:
+        np.testing.assert_array_equal(np.asarray(got[key]),
+                                      np.asarray(ref[key]))
+    # Budget gate: a zero budget must refuse (whole-brain behavior).
+    assert dev._prefetch_brain_data(budget_bytes=0) is None
+    # Host structuring never prefetches.
+    host = _lanczos_trainer(assembly, tmp_path, [emb], fused=True,
+                            use_train_test_split=True,
+                            device_resident=False)
+    assert host._prefetch_brain_data() is None
+
+
 def test_device_resident_banded_structuring_matches_host(assembly, tmp_path):
     wordrate = FeatureExtractorFactory.create_extractor(
         "wordrate", "wordrate", {}
