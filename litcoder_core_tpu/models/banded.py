@@ -539,9 +539,20 @@ def _chol_scan_chunked(Xc, Y_j, scales, inner_splits, alphas_j,
     queue up stacks their ~GB prediction temps (the RESOURCE_EXHAUSTED
     mode _refit_gamma_predict documents). The chunk size is capped and
     the alpha axis sub-batched by memory budgets (_scan_chunk_cap /
-    _scan_alpha_batch): at whole-brain V the resident set (10 GB Y +
-    2 GB XtY + 1.1 GB solve factors) leaves ~1.5 GB for dispatch
-    transients, which an (A, Tva, 8192) prediction block alone exceeds."""
+    _scan_alpha_batch).
+
+    Two response layouts:
+    - DEVICE-resident (jax Y): each dispatch slices a (T, chunk) response
+      column block and re-derives its cross-product. At whole-brain V the
+      resident set (10 GB Y + 1.1 GB solve factors) left so little slack
+      that the fit RESOURCE_EXHAUSTED anyway — kept for mid-size problems
+      where Y already lives on device.
+    - HOST-streaming (numpy Y, requires the precomputed (D, V) XtY from
+      _xty_streamed): per fold, ONE (Tva, V) val-row upload + the
+      downdated train cross-product replace the response entirely; peak
+      HBM drops to ~8 GB at whole-brain shape and each dispatch loses its
+      largest transient and matmul. Cost: Y crosses the link twice per
+      fit (the XtY pass + the fold uploads)."""
     fast = bool(fast_scan)
     n_g = int(scales.shape[0])
     v_in = int(Y_j.shape[1])
