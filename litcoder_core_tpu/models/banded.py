@@ -1090,20 +1090,28 @@ def fit_banded_ridge(
     # compute it once. Only when the refit will reuse it — the wide/dual
     # and fallback scans never form it.
     G_shared = _gram_f32(Xc_j) if chol_refit else None
-    # Host-streaming mode: the (D, V) cross-product is the scan's AND the
-    # refit's view of Y — built once at HIGHEST precision by streaming
-    # column chunks so no (T, V) buffer ever exists on device.
-    XtY_shared = _xty_streamed(Xc_j, Y_j) if stream_host else None
 
-    # --- score every (gamma, alpha) on inner CV ---------------------------
-    # scores has shape (G, A, V): mean fold correlation per gamma candidate.
-    # Strip any sharding pad BEFORE the argmax: padded all-zero response
-    # columns must not participate in any decision.
     from litcoder_core_tpu.utils.profiling import StageTimer
 
     # Stage boundaries end in host materialization (block_until_ready /
     # np.asarray), so no extra sync barrier is needed.
     timer = StageTimer()
+
+    # Host-streaming mode: the (D, V) cross-product is the scan's AND the
+    # refit's view of Y — built once at HIGHEST precision by streaming
+    # column chunks so no (T, V) buffer ever exists on device. Timed as
+    # its own stage: it is the fit's dominant H2D (the whole response
+    # crosses the link) and would otherwise be an unattributed gap
+    # between the wall and the stage sum.
+    XtY_shared = None
+    if stream_host:
+        with timer.stage("xty_stream"):
+            XtY_shared = _xty_streamed(Xc_j, Y_j)
+
+    # --- score every (gamma, alpha) on inner CV ---------------------------
+    # scores has shape (G, A, V): mean fold correlation per gamma candidate.
+    # Strip any sharding pad BEFORE the argmax: padded all-zero response
+    # columns must not participate in any decision.
 
     def _scan(Y_in, fast: bool, mesh_in):
         s = _score_gammas(
